@@ -1,0 +1,29 @@
+"""Test config: force CPU with 8 virtual devices so sharding/mesh tests run
+without TPU hardware (the TPU equivalent of multi-node simulation)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def synthetic_splits_dir(tmp_path_factory):
+    from wav2vec2forbrain_tpu.data.synthetic import make_synthetic_splits_dir
+
+    root = tmp_path_factory.mktemp("t12_synth")
+    return make_synthetic_splits_dir(str(root), n_trials=6, n_blocks=2, seed=0)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,183 @@
+"""Argument models (pydantic v2) for the experiment CLI.
+
+Public flag surface mirrors the reference CLI exactly
+(ref: src/args/base_args.py:14-134) — same names, same defaults — so a user
+of the reference can switch without changing their command lines.
+"""
+
+from typing import Literal, Optional
+
+from pydantic import BaseModel, Field
+
+# Latent sizes of the supported pretrained wav2vec2 checkpoints
+# (ref: src/args/base_args.py:5-11).
+PRETRAINED_LATENT_SIZES = {
+    "jonatasgrosman/wav2vec2-large-xlsr-53-english": 1024,
+    "facebook/wav2vec2-base-960h": 768,
+    "facebook/wav2vec2-large-960h": 1024,
+    "facebook/wav2vec2-conformer-rope-large-960h-ft": 1024,
+    "facebook/wav2vec2-lv-60-espeak-cv-ft": 1024,
+}
+
+PreprocessingName = Literal[
+    "competition_recommended",
+    "seperate_zscoring",
+    "only_tx_unnormalized",
+    "only_tx_zscored",
+    "only_spikepow_unnormalized",
+    "only_spikepow_zscored",
+    "seperate_zscoring_2channels",
+    "seperate_zscoring_4channels",
+]
+
+
+class B2TDatasetArgsModel(BaseModel):
+    """Dataset flags (ref: src/args/base_args.py:14-31)."""
+
+    preprocessing: PreprocessingName = "seperate_zscoring"
+    competition_mode: bool = False
+    limit_samples: Optional[int] = Field(
+        default=None, description="Limit number of samples"
+    )
+    sample_rate: int = 50
+    remove_punctuation: bool = True
+    area: Literal["6v", "44"] = "6v"
+
+
+class BaseExperimentArgsModel(BaseModel):
+    """Base experiment flags (ref: src/args/base_args.py:50-134).
+
+    Flags that are vestigial in the reference (members of the experiment_type
+    Literal that are not registered) are preserved for CLI compatibility but
+    only the two registered experiment types run.
+    """
+
+    batch_size: int = Field(16, description="Batch size for training and validation")
+    epochs: int = 10
+    learning_rate: float = 0.001
+    optimizer: Literal["adam", "sgd"] = "adam"
+    loss_function: Literal[
+        "ctc",
+        "contrastive_loss",
+        "cross_entropy",
+        "bce",
+        "ctc+discriminator",
+        "combined_ctc",
+    ] = "ctc"
+    ctc_loss_reduction: Literal["sum", "mean"] = "mean"
+    experiment_name: str = "experiment_1"
+    experiment_type: Literal[
+        "audio_wav2vec2",
+        "b2t_audio_wav2vec",
+        "onehot_index",
+        "b2t_cnn",
+        "b2t_gru",
+        "b2t_gru+trafo",
+        "mvts_transformer",
+        "b2t_mamba",
+        "ctc_lm",
+        "b2t_ctc_lm_mamba_finetuning",
+        "b2p2t_mamba",
+        "b2p2t_gru",
+        "b2p2t_mvtst",
+        "timit_w2v_suc",
+        "timit_w2v_suc_ctc",
+        "b2p_suc",
+        "discriminator",
+        "b2p2t_gru+w2v",
+        "b2p2t_phonemegru+w2v",
+        "b2p2t_gru+w2v_conformer",
+        "b2p2t_gru_w2vphoneme",
+        "a2p_w2vphoneme_head",
+        "a2t_w2vphoneme_head",
+        "b2p_w2vphoneme_head",
+    ] = Field("b2p2t_gru+w2v")
+    log_every_n_batches: int = 10
+    scheduler: Literal["step"] = "step"
+    scheduler_step_size: int = 10
+    scheduler_gamma: float = 0.1
+    return_best_model: bool = True
+    best_model_metric: str = Field(
+        "loss",
+        description=(
+            'The metric by which to measure the models performance. Can be "loss" '
+            "for using the applied loss or any metric that is returned by the model"
+        ),
+    )
+    minimize_best_model_metric: bool = Field(
+        True,
+        description="Specify if best_model_metric should be minimized or maximized",
+    )
+    use_wandb: bool = False
+    from_checkpoint: Optional[str] = Field(
+        None, description="(optional) Path to model checkpoint"
+    )
+    only_test: bool = Field(False, description="Only run test, skip training")
+    predict_on_train: bool = Field(
+        False, description="Run prediction on train set after model training"
+    )
+    gradient_clipping: Optional[float] = None
+    weight_decay: float = 0.0
+    visualize_predictions_n_batches: int = 1
+    use_fast_tokenizer: bool = False
+    use_prefix_beam_search: bool = True
+    beam_search_language_model: str = "openai-community/gpt2"
+    whiteNoiseSD: float = 0.0
+    constantOffsetSD: float = 0.0
+    seed: int = 42
+    optimizer_epsilon: float = 1e-8
+    early_stopping_patience: Optional[int] = Field(
+        None,
+        description=(
+            "Number of epochs n to consider for early stopping. Once all n-1 last "
+            "epochs did not improve compared to the -nth epoch, training is stopped. "
+            "If None, early stopping is disabled"
+        ),
+    )
+    early_stopping_delta: float = Field(
+        0.0001,
+        description=(
+            "Minimum delta of to be optimized metric that is considered as an "
+            "improvement for early stopping"
+        ),
+    )
+    train_on_val_once: bool = Field(
+        False, description="Train once on val after normal training"
+    )
+    log_results_as_artifact: bool = False
+    results_subdir_name: Optional[str] = None
+
+    # --- TPU-native additions (not in the reference CLI; defaults preserve
+    # reference semantics where applicable) ---
+    pad_to_multiple: int = Field(
+        1,
+        description=(
+            "Round batch time length up to this multiple to bound jit "
+            "recompilations (1 = exact reference batch-max padding)"
+        ),
+    )
+    target_pad_to_multiple: int = Field(
+        1,
+        description=(
+            "Round batch target length up to this multiple to bound jit "
+            "recompilations (1 = exact reference behaviour)"
+        ),
+    )
+    compute_dtype: Literal["float32", "bfloat16"] = Field(
+        "float32",
+        description="Matmul/activation dtype on device (params stay float32)",
+    )
+    mesh_data_parallel: int = Field(
+        0,
+        description=(
+            "Data-parallel mesh axis size; 0 = use all visible devices "
+            "for data parallelism"
+        ),
+    )
+    mesh_model_parallel: int = Field(
+        1, description="Model-parallel (tensor) mesh axis size"
+    )
+    use_pallas: bool = Field(
+        False,
+        description="Use fused Pallas TPU kernels for the preprocessing chain",
+    )

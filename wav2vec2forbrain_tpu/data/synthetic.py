@@ -1,0 +1,86 @@
+"""Synthetic T12-schema dataset generator.
+
+The real Willett et al. T12 data is private; tests and smoke runs use
+generated `.mat` files with the exact on-disk schema the loader expects
+(keys sentenceText / tx1 / spikePow / blockIdx, ref:
+src/datasets/brain2text.py:100-128 and preprocessing.py:35-57).
+"""
+
+import os
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+from scipy.io import savemat
+
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog and runs far away today "
+    "we like to test brain to text decoding with neural networks"
+).split()
+
+
+def _random_sentence(rng: np.random.Generator, n_words: int) -> str:
+    return " ".join(rng.choice(_WORDS, size=n_words))
+
+
+def make_session_mat(
+    path: str,
+    n_trials: int = 6,
+    n_blocks: int = 2,
+    min_frames: int = 40,
+    max_frames: int = 90,
+    n_channels: int = 256,
+    seed: int = 0,
+) -> None:
+    """Write one session .mat with the loader's expected schema."""
+    rng = np.random.default_rng(seed)
+    tx1 = np.empty((1, n_trials), dtype=object)
+    spike_pow = np.empty((1, n_trials), dtype=object)
+    sentences: List[str] = []
+    block_idx = np.zeros((n_trials, 1), dtype=np.float64)
+    for i in range(n_trials):
+        t = int(rng.integers(min_frames, max_frames + 1))
+        tx1[0, i] = rng.poisson(2.0, size=(t, n_channels)).astype(np.float64)
+        spike_pow[0, i] = (rng.gamma(2.0, 1.0, size=(t, n_channels))).astype(
+            np.float64
+        )
+        sentences.append(_random_sentence(rng, int(rng.integers(3, 8))))
+        block_idx[i, 0] = float(i * n_blocks // n_trials + 1)
+    savemat(
+        path,
+        {
+            "sentenceText": np.asarray(sentences),
+            "tx1": tx1,
+            "spikePow": spike_pow,
+            "blockIdx": block_idx,
+        },
+    )
+
+
+def make_synthetic_splits_dir(
+    root: str,
+    session_names: Optional[List[str]] = None,
+    n_trials: int = 6,
+    n_blocks: int = 2,
+    seed: int = 0,
+    with_competition_holdout: bool = False,
+) -> str:
+    """Create train/ and test/ split dirs populated with synthetic sessions."""
+    from wav2vec2forbrain_tpu.data.dataset import sessionNames
+
+    if session_names is None:
+        session_names = sessionNames[:2]
+    root_path = Path(root)
+    dirs = ["train", "test"] + (
+        ["competitionHoldOut"] if with_competition_holdout else []
+    )
+    for split_dir in dirs:
+        os.makedirs(root_path / split_dir, exist_ok=True)
+        for k, name in enumerate(session_names):
+            make_session_mat(
+                str(root_path / split_dir / f"{name}.mat"),
+                n_trials=n_trials,
+                n_blocks=n_blocks,
+                seed=seed + 1000 * dirs.index(split_dir) + k,
+            )
+    return str(root_path)

@@ -1,0 +1,92 @@
+"""Experiment argument models (public CLI surface).
+
+Mirror of the reference experiment args:
+- B2TArgsModel                   (ref: src/experiments/b2t_experiment.py:17-20)
+- B2TGruAndW2VArgsModel          (ref: src/experiments/b2t_gru_w2v_experiment.py:41-76)
+- B2TGruAndW2VConformerArgsModel (ref: src/experiments/b2t_gru_w2v_conformer_experiment.py:36-58)
+
+pyctcdecode defaults reproduced as constants (pyctcdecode is not a
+dependency; the LM decode path is native here).
+"""
+
+from typing import Literal, Optional
+
+from pydantic import Field
+
+from wav2vec2forbrain_tpu.args.base_args import (
+    B2TDatasetArgsModel,
+    BaseExperimentArgsModel,
+)
+from wav2vec2forbrain_tpu.models.configs import (
+    B2P2TBrainFeatureExtractorArgsModel,
+    W2VBrainEncoderModelArgs,
+)
+
+# pyctcdecode.constants values (reference defaults).
+DEFAULT_BEAM_WIDTH = 100
+DEFAULT_PRUNE_LOGP = -10.0
+DEFAULT_MIN_TOKEN_LOGP = -5.0
+
+
+class B2TArgsModel(BaseExperimentArgsModel, B2TDatasetArgsModel):
+    tokenizer: Literal["wav2vec_pretrained", "ours"] = "wav2vec_pretrained"
+    tokenizer_checkpoint: str = "facebook/wav2vec2-base-100h"
+    day_batches: bool = False
+
+
+class _GruW2VCommonArgs(B2TArgsModel, B2P2TBrainFeatureExtractorArgsModel):
+    brain_encoder_path: Optional[str] = None
+    unfreeze_strategy: Literal["brain_encoder", "brain_encoder+w2v"] = "brain_encoder"
+    w2v_learning_rate: Optional[float] = None
+    w2v_warmup_start_step: Optional[int] = Field(
+        default=None,
+        description=(
+            "Epoch at which warm up phase of w2v lr starts. Before LR will be 0. "
+            "0 if not provided"
+        ),
+    )
+    w2v_warmup_steps: Optional[int] = Field(
+        default=None,
+        description=(
+            "Num epochs from w2v_warmup_start_step to reach full "
+            "w2v_learning_rate. 0 if not provided"
+        ),
+    )
+    lm_decode_test_predictions: bool = False
+    adjust_global_lr_to_w2v_postwarmup_lr: Optional[bool] = Field(
+        default=None,
+        description=(
+            "Adjust the global learning rate to that of w2v over w2v warmup "
+            "interval, then keep at w2v_learning_rate. Only valid when "
+            "brain_encoder+w2v unfreeze strategy is set."
+        ),
+    )
+    lm_decode_beam_width: int = DEFAULT_BEAM_WIDTH
+    lm_decode_beam_prune_logp: float = DEFAULT_PRUNE_LOGP
+    lm_decode_token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP
+    lm_decode_alpha: float = 0.5
+    lm_decode_beta: float = 0.5
+    lm_score_boundary: bool = False
+
+
+class B2TGruAndW2VArgsModel(_GruW2VCommonArgs, W2VBrainEncoderModelArgs):
+    wav2vec_checkpoint: str = "facebook/wav2vec2-base-960h"
+    w2v_skip_loading_weights: bool = Field(
+        default=False,
+        description="Skip loading weights from wav2vec checkpoint, only load architecture",
+    )
+    store_brain_encoder: bool = Field(
+        default=False,
+        description=(
+            "Store brain encoder model seperate from whole model in results "
+            "directory"
+        ),
+    )
+
+
+class B2TGruAndW2VConformerArgsModel(_GruW2VCommonArgs):
+    wav2vec_checkpoint: str = "facebook/wav2vec2-conformer-rope-large-960h-ft"
+    w2v_skip_loading_weights: bool = Field(
+        default=False,
+        description="Skip loading weights from wav2vec checkpoint, only load architecture",
+    )
