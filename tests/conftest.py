@@ -3,7 +3,7 @@ without TPU hardware (the TPU equivalent of multi-node simulation)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even under the axon TPU tunnel
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +11,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import jax
+
+# The axon TPU plugin's sitecustomize forces jax_platforms="axon,cpu" at
+# interpreter start; re-force CPU for the test suite.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

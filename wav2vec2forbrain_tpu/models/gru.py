@@ -1,0 +1,169 @@
+"""Multi-layer bidirectional GRU as a `lax.scan` recurrence (TPU-native).
+
+Replaces the reference's cuDNN `torch.nn.GRU`
+(ref: src/model/brain_feature_extractor.py:39-47) with a formulation that
+keeps the MXU busy: the input projection for ALL timesteps is one large
+batched matmul (B*T, in) @ (in, 3H) done outside the scan; only the small
+recurrent matmul (B, H) @ (H, 3H) lives inside the scan body. Bidirectional
+= a second scan over the time-reversed sequence (the reference feeds padded
+batches without packing, so the backward direction consumes padding as real
+input — reproduced exactly).
+
+Gate math and weight layout match torch (gates ordered r, z, n):
+    r = sigmoid(gi_r + gh_r)
+    z = sigmoid(gi_z + gh_z)
+    n = tanh(gi_n + r * gh_n)
+    h' = (1 - z) * n + z * h
+Kernels are stored transposed relative to torch: w_ih (in, 3H), w_hh (H, 3H).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def init_gru_params(
+    rng,
+    in_size: int,
+    hidden_size: int,
+    num_layers: int,
+    bidirectional: bool = True,
+    bias: bool = True,
+    learnable_initial_state: bool = False,
+    dtype=jnp.float32,
+) -> dict:
+    """torch nn.GRU default init: U(-1/sqrt(H), 1/sqrt(H)) for all weights."""
+    num_directions = 2 if bidirectional else 1
+    bound = 1.0 / jnp.sqrt(hidden_size)
+    layers = []
+    for layer in range(num_layers):
+        layer_in = in_size if layer == 0 else hidden_size * num_directions
+        directions = []
+        for _ in range(num_directions):
+            rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
+            d = {
+                "w_ih": jax.random.uniform(
+                    k1, (layer_in, 3 * hidden_size), dtype, -bound, bound
+                ),
+                "w_hh": jax.random.uniform(
+                    k2, (hidden_size, 3 * hidden_size), dtype, -bound, bound
+                ),
+            }
+            if bias:
+                d["b_ih"] = jax.random.uniform(
+                    k3, (3 * hidden_size,), dtype, -bound, bound
+                )
+                d["b_hh"] = jax.random.uniform(
+                    k4, (3 * hidden_size,), dtype, -bound, bound
+                )
+            directions.append(d)
+        layers.append({"directions": directions})
+    params = {"layers": layers}
+    if learnable_initial_state:
+        rng, k = jax.random.split(rng)
+        # (num_layers * num_directions, H), torch h0 layout:
+        # [l0_fwd, l0_bwd, l1_fwd, l1_bwd, ...] (ref: brain_feature_extractor.py:31-37)
+        params["hidden_start"] = jax.random.normal(
+            k, (num_layers * num_directions, hidden_size), dtype
+        )
+    return params
+
+
+def _gru_direction(
+    d_params: dict,
+    x: jnp.ndarray,
+    h0: jnp.ndarray,
+    hidden_size: int,
+    reverse: bool,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """One direction of one layer. x: (B, T, in) -> (B, T, H)."""
+    if reverse:
+        x = jnp.flip(x, axis=1)
+
+    w_ih = d_params["w_ih"]
+    w_hh = d_params["w_hh"]
+    cd = compute_dtype or x.dtype
+    # Input projection for all timesteps at once (MXU-friendly).
+    gi = jnp.dot(
+        x.astype(cd), w_ih.astype(cd), preferred_element_type=jnp.float32
+    )
+    if "b_ih" in d_params:
+        gi = gi + d_params["b_ih"]
+    gi = jnp.swapaxes(gi, 0, 1)  # (T, B, 3H)
+
+    b_hh = d_params.get("b_hh")
+    w_hh_c = w_hh.astype(cd)
+
+    def step(h, gi_t):
+        gh = jnp.dot(
+            h.astype(cd), w_hh_c, preferred_element_type=jnp.float32
+        )
+        if b_hh is not None:
+            gh = gh + b_hh
+        gi_r, gi_z, gi_n = jnp.split(gi_t, 3, axis=-1)
+        gh_r, gh_z, gh_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(gi_r + gh_r)
+        z = jax.nn.sigmoid(gi_z + gh_z)
+        n = jnp.tanh(gi_n + r * gh_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, ys = jax.lax.scan(step, h0, gi)
+    ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys
+
+
+def apply_gru(
+    params: dict,
+    x: jnp.ndarray,
+    hidden_size: int,
+    num_layers: int,
+    bidirectional: bool = True,
+    dropout: float = 0.0,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    use_learnable_initial_state: bool = False,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Full stacked (bi)GRU. x: (B, T, in) -> (B, T, H * num_directions).
+
+    Inter-layer dropout (not after the last layer) matches torch nn.GRU.
+    """
+    b = x.shape[0]
+    num_directions = 2 if bidirectional else 1
+    h0_all = None
+    if use_learnable_initial_state:
+        h0_all = params["hidden_start"]  # (L*D, H)
+
+    out = x
+    for layer in range(num_layers):
+        dirs = params["layers"][layer]["directions"]
+        outputs = []
+        for di in range(num_directions):
+            if h0_all is not None:
+                h0 = jnp.broadcast_to(
+                    h0_all[layer * num_directions + di], (b, hidden_size)
+                )
+            else:
+                h0 = jnp.zeros((b, hidden_size), out.dtype)
+            outputs.append(
+                _gru_direction(
+                    dirs[di],
+                    out,
+                    h0,
+                    hidden_size,
+                    reverse=(di == 1),
+                    compute_dtype=compute_dtype,
+                )
+            )
+        out = jnp.concatenate(outputs, axis=-1) if num_directions == 2 else outputs[0]
+        if train and dropout > 0.0 and layer < num_layers - 1:
+            assert dropout_rng is not None, "dropout_rng required in train mode"
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
+            out = jnp.where(keep, out / (1.0 - dropout), 0.0)
+    return out
