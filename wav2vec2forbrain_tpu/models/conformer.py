@@ -1,0 +1,379 @@
+"""Wav2Vec2-Conformer encoder (rotary position embeddings) in functional JAX.
+
+TPU-native re-implementation of the paper-headline backbone
+(wav2vec2-conformer-rope-large-960h-ft; ref:
+src/model/w2v_conformer_custom_feat_extractor.py:62-112 wrapping HF
+Wav2Vec2ConformerEncoder). Per block (macaron):
+
+    x = x + 0.5 * ffn1(LN(x))
+    x = x + dropout(attn_rope(LN(x)))
+    x = x + conv_module(x)          # LN -> pw-conv(GLU) -> dw-conv -> BN -> swish -> pw-conv
+    x = LN(x + 0.5 * ffn2(LN(x)))   # final per-block LN
+then a final encoder LayerNorm.
+
+RoPE is applied to the *hidden states* before the q/k projections (HF quirk,
+reproduced bit-for-bit so the pretrained checkpoint transfers). The HF module
+also owns a positional conv embedding that its forward never calls — those
+params are kept for checkpoint parity and masked from optimization, like the
+reference's dead inpLayers.
+
+BatchNorm running statistics live in a separate mutable `state` pytree; train
+mode uses batch statistics and returns updated running stats.
+"""
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wav2vec2forbrain_tpu.models.activations import ACT2FN
+from wav2vec2forbrain_tpu.models.fc import apply_linear, init_linear
+from wav2vec2forbrain_tpu.models.wav2vec2 import _dropout, _layer_norm
+
+
+@dataclass
+class ConformerEncoderConfig:
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    # HF config default; the released rope-large-960h-ft checkpoint's
+    # config.json specifies "swish" (see rope_large_960h()).
+    hidden_act: str = "gelu"
+    hidden_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    conformer_conv_dropout: float = 0.1
+    final_dropout: float = 0.1
+    layerdrop: float = 0.1
+    layer_norm_eps: float = 1e-5
+    conv_depthwise_kernel_size: int = 31
+    rotary_embedding_base: int = 10000
+    position_embeddings_type: str = "rotary"
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    vocab_size: int = 32
+    feat_extract_activation: str = "gelu"
+    batch_norm_momentum: float = 0.1
+    batch_norm_eps: float = 1e-5
+
+    @classmethod
+    def rope_large_960h(cls) -> "ConformerEncoderConfig":
+        return cls(hidden_act="swish")
+
+    @classmethod
+    def tiny_test(cls, **kw) -> "ConformerEncoderConfig":
+        d = dict(
+            hidden_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=128,
+            num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4,
+            conv_depthwise_kernel_size=31,
+        )
+        d.update(kw)
+        return cls(**d)
+
+
+# --- init ----------------------------------------------------------------------
+
+
+def _init_layer_norm(size: int) -> dict:
+    return {
+        "scale": jnp.ones((size,), jnp.float32),
+        "bias": jnp.zeros((size,), jnp.float32),
+    }
+
+
+def _init_conv1d_kernel(rng, shape_torch, fan_in) -> jnp.ndarray:
+    """torch Conv1d kaiming-uniform init; shape given in torch layout then
+    converted by caller."""
+    bound = math.sqrt(3.0) / math.sqrt(fan_in)
+    return jax.random.uniform(rng, shape_torch, jnp.float32, -bound, bound)
+
+
+def init_conformer_layer_params(rng, cfg: ConformerEncoderConfig) -> dict:
+    h = cfg.hidden_size
+    ks = cfg.conv_depthwise_kernel_size
+    keys = jax.random.split(rng, 12)
+    return {
+        "ffn1_layer_norm": _init_layer_norm(h),
+        "ffn1": {
+            "intermediate_dense": init_linear(keys[0], h, cfg.intermediate_size),
+            "output_dense": init_linear(keys[1], cfg.intermediate_size, h),
+        },
+        "self_attn_layer_norm": _init_layer_norm(h),
+        "self_attn": {
+            "linear_q": init_linear(keys[2], h, h),
+            "linear_k": init_linear(keys[3], h, h),
+            "linear_v": init_linear(keys[4], h, h),
+            "linear_out": init_linear(keys[5], h, h),
+        },
+        "conv_module": {
+            "layer_norm": _init_layer_norm(h),
+            # stored in ('NTC','TIO','NTC')-friendly layouts:
+            # pointwise: (in, out); depthwise: (k, 1, C)
+            "pointwise_conv1": {
+                "kernel": _init_conv1d_kernel(keys[6], (h, 2 * h), h)
+            },
+            "depthwise_conv": {
+                "kernel": _init_conv1d_kernel(keys[7], (ks, 1, h), ks)
+            },
+            "batch_norm": {
+                "scale": jnp.ones((h,), jnp.float32),
+                "bias": jnp.zeros((h,), jnp.float32),
+            },
+            "pointwise_conv2": {
+                "kernel": _init_conv1d_kernel(keys[8], (h, h), h)
+            },
+        },
+        "ffn2_layer_norm": _init_layer_norm(h),
+        "ffn2": {
+            "intermediate_dense": init_linear(keys[9], h, cfg.intermediate_size),
+            "output_dense": init_linear(keys[10], cfg.intermediate_size, h),
+        },
+        "final_layer_norm": _init_layer_norm(h),
+    }
+
+
+def init_conformer_encoder_params(rng, cfg: ConformerEncoderConfig) -> dict:
+    h = cfg.hidden_size
+    k = cfg.num_conv_pos_embeddings
+    groups = cfg.num_conv_pos_embedding_groups
+    rng, kc, kb = jax.random.split(rng, 3)
+    fan_in = (h // groups) * k
+    bound = 1.0 / math.sqrt(fan_in)
+    v = jax.random.uniform(
+        kc, (h, h // groups, k), jnp.float32,
+        -math.sqrt(3.0) * bound, math.sqrt(3.0) * bound,
+    )
+    g = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        rng, sub = jax.random.split(rng)
+        layers.append(init_conformer_layer_params(sub, cfg))
+    return {
+        # dead parity params (HF owns them, never applies them in forward)
+        "pos_conv": {
+            "weight_g": g,
+            "weight_v": v,
+            "bias": jax.random.uniform(kb, (h,), jnp.float32, -bound, bound),
+        },
+        "layer_norm": _init_layer_norm(h),
+        "layers": layers,
+    }
+
+
+def init_conformer_state(cfg: ConformerEncoderConfig) -> dict:
+    h = cfg.hidden_size
+    return {
+        "layers": [
+            {
+                "batch_norm": {
+                    "mean": jnp.zeros((h,), jnp.float32),
+                    "var": jnp.ones((h,), jnp.float32),
+                }
+            }
+            for _ in range(cfg.num_hidden_layers)
+        ]
+    }
+
+
+# --- rotary ----------------------------------------------------------------------
+
+
+def rotary_cos_sin(
+    seq_len: int, head_size: int, base: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    inv_freq = 1.0 / (
+        base ** (jnp.arange(0, head_size, 2, dtype=jnp.float32) / head_size)
+    )
+    t = jnp.arange(seq_len, dtype=jnp.float32)
+    freqs = jnp.einsum("i,j->ij", t, inv_freq)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # (T, head_size)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, num_heads: int):
+    """HF quirk: rotate the hidden states (B, T, H) before q/k projection."""
+    b, t, h = x.shape
+    head = h // num_heads
+    xh = x.reshape(b, t, num_heads, head)
+    x1 = xh[..., : head // 2]
+    x2 = xh[..., head // 2 :]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    out = xh * cos[None, :, None, :] + rotated * sin[None, :, None, :]
+    return out.reshape(b, t, h)
+
+
+# --- blocks -----------------------------------------------------------------------
+
+
+def conformer_feed_forward(p, x, cfg, rng, train, compute_dtype):
+    act = ACT2FN[cfg.hidden_act]
+    y = apply_linear(p["intermediate_dense"], x, compute_dtype)
+    y = act(y)
+    rng, y = _dropout(rng, y, cfg.activation_dropout, train)
+    y = apply_linear(p["output_dense"], y, compute_dtype)
+    rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
+    return y, rng
+
+
+def conformer_self_attention(
+    p, x, cfg: ConformerEncoderConfig, cos, sin, rng, train, compute_dtype
+):
+    b, t, h = x.shape
+    heads = cfg.num_attention_heads
+    head = h // heads
+    cd = compute_dtype or x.dtype
+
+    qk_states = _apply_rotary(x, cos, sin, heads)
+    q = apply_linear(p["linear_q"], qk_states, cd).reshape(b, t, heads, head)
+    k = apply_linear(p["linear_k"], qk_states, cd).reshape(b, t, heads, head)
+    v = apply_linear(p["linear_v"], x, cd).reshape(b, t, heads, head)
+
+    q = jnp.transpose(q, (0, 2, 1, 3))
+    k = jnp.transpose(k, (0, 2, 1, 3))
+    v = jnp.transpose(v, (0, 2, 1, 3))
+
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(head)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if train and cfg.attention_dropout > 0.0:
+        rng, sub = jax.random.split(rng)
+        keep = jax.random.bernoulli(sub, 1.0 - cfg.attention_dropout, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - cfg.attention_dropout), 0.0)
+    ctx = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(cd), v.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h)
+    return apply_linear(p["linear_out"], ctx, cd), rng
+
+
+def _batch_norm(
+    p: dict,
+    state: dict,
+    x: jnp.ndarray,
+    cfg: ConformerEncoderConfig,
+    train: bool,
+) -> Tuple[jnp.ndarray, dict]:
+    """BatchNorm over channels of (B, T, C): stats over (B, T).
+
+    torch semantics: normalize with biased batch var in train, update running
+    var with the unbiased estimate; eval uses running stats.
+    """
+    if train:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1))
+        var = jnp.var(x32, axis=(0, 1))
+        n = x.shape[0] * x.shape[1]
+        unbiased = var * n / jnp.maximum(n - 1, 1)
+        m = cfg.batch_norm_momentum
+        new_state = {
+            "mean": (1 - m) * state["mean"] + m * mean,
+            "var": (1 - m) * state["var"] + m * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean) * jax.lax.rsqrt(var + cfg.batch_norm_eps)
+    return y * p["scale"] + p["bias"], new_state
+
+
+def conformer_conv_module(
+    p, state, x, cfg: ConformerEncoderConfig, rng, train, compute_dtype
+):
+    cd = compute_dtype or x.dtype
+    y = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
+    # pointwise conv1 (k=1, no bias) == dense to 2C, then GLU over channels
+    y = jnp.dot(
+        y.astype(cd), p["pointwise_conv1"]["kernel"].astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    a, b_half = jnp.split(y, 2, axis=-1)
+    y = a * jax.nn.sigmoid(b_half)
+    # depthwise conv k=31, same padding
+    ks = cfg.conv_depthwise_kernel_size
+    pad = (ks - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        y.astype(cd),
+        p["depthwise_conv"]["kernel"].astype(cd),
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NTC", "TIO", "NTC"),
+        feature_group_count=cfg.hidden_size,
+    ).astype(jnp.float32)
+    y, new_bn = _batch_norm(p["batch_norm"], state["batch_norm"], y, cfg, train)
+    y = ACT2FN[cfg.hidden_act](y)
+    y = jnp.dot(
+        y.astype(cd), p["pointwise_conv2"]["kernel"].astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    rng, y = _dropout(rng, y, cfg.conformer_conv_dropout, train)
+    return y, {"batch_norm": new_bn}, rng
+
+
+def conformer_layer(
+    p, state, x, cfg: ConformerEncoderConfig, cos, sin, rng, train, compute_dtype
+):
+    # FFN1 (half-step)
+    residual = x
+    y = _layer_norm(p["ffn1_layer_norm"], x, cfg.layer_norm_eps)
+    y, rng = conformer_feed_forward(p["ffn1"], y, cfg, rng, train, compute_dtype)
+    x = y * 0.5 + residual
+
+    # Self-attention
+    residual = x
+    y = _layer_norm(p["self_attn_layer_norm"], x, cfg.layer_norm_eps)
+    y, rng = conformer_self_attention(
+        p["self_attn"], y, cfg, cos, sin, rng, train, compute_dtype
+    )
+    rng, y = _dropout(rng, y, cfg.attention_dropout, train)
+    x = residual + y
+
+    # Convolution module
+    residual = x
+    y, new_state, rng = conformer_conv_module(
+        p["conv_module"], state, x, cfg, rng, train, compute_dtype
+    )
+    x = residual + y
+
+    # FFN2 (half-step) + final block LN
+    residual = x
+    y = _layer_norm(p["ffn2_layer_norm"], x, cfg.layer_norm_eps)
+    y, rng = conformer_feed_forward(p["ffn2"], y, cfg, rng, train, compute_dtype)
+    x = y * 0.5 + residual
+    x = _layer_norm(p["final_layer_norm"], x, cfg.layer_norm_eps)
+    return x, new_state, rng
+
+
+def apply_conformer_encoder(
+    params: dict,
+    state: dict,
+    x: jnp.ndarray,
+    cfg: ConformerEncoderConfig,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    compute_dtype=None,
+) -> Tuple[jnp.ndarray, dict]:
+    """Full encoder. Returns (hidden (B,T,H), new_state).
+
+    LayerDrop intentionally not applied (see wav2vec2.py rationale).
+    """
+    rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
+    head = cfg.hidden_size // cfg.num_attention_heads
+    cos, sin = rotary_cos_sin(x.shape[1], head, cfg.rotary_embedding_base)
+    new_layer_states = []
+    for p_layer, s_layer in zip(params["layers"], state["layers"]):
+        x, new_s, rng = conformer_layer(
+            p_layer, s_layer, x, cfg, cos, sin, rng, train, compute_dtype
+        )
+        new_layer_states.append(new_s)
+    x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+    return x, {"layers": new_layer_states}

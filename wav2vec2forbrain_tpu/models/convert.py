@@ -16,9 +16,13 @@ import numpy as np
 
 
 def _np(t) -> np.ndarray:
+    # Always copy: torch .numpy() shares memory with the tensor, and
+    # jnp.asarray on CPU can be zero-copy — without the copy, later in-place
+    # torch mutations (e.g. batchnorm running stats) would silently alias
+    # into converted JAX params.
     if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
-    return np.asarray(t)
+        return t.detach().cpu().numpy().copy()
+    return np.array(t)
 
 
 def state_dict_to_numpy(module_or_dict) -> Dict[str, np.ndarray]:
@@ -31,9 +35,10 @@ def state_dict_to_numpy(module_or_dict) -> Dict[str, np.ndarray]:
 
 
 def linear_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    p = prefix + "." if prefix else ""
     return {
-        "kernel": sd[f"{prefix}.weight"].T.copy(),
-        "bias": sd[f"{prefix}.bias"],
+        "kernel": sd[f"{p}weight"].T.copy(),
+        "bias": sd[f"{p}bias"],
     }
 
 

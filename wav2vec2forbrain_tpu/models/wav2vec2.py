@@ -1,0 +1,316 @@
+"""Wav2Vec2 transformer encoder (feature-extractor-free) in functional JAX.
+
+TPU-native re-implementation of the encoder stack the reference uses after
+chopping off the audio conv feature extractor
+(ref: src/model/w2v_custom_feat_extractor.py:139-191, which wraps HF
+Wav2Vec2Encoder / Wav2Vec2EncoderStableLayerNorm + the ForCTC lm_head).
+
+Architecture (post-LN / do_stable_layer_norm=False, e.g. base-960h):
+    x = x + pos_conv(x); x = LN(x); x = dropout(x)
+    per layer: x = LN(x + attn(x)); x = finalLN(x + ffn(x))
+Pre-LN (stable, e.g. large-960h):
+    x = x + pos_conv(x); x = dropout(x)
+    per layer: x = x + attn(LN(x)); x = x + ffn(finalLN'(x)); final encoder LN
+
+No attention mask is used anywhere — the reference always passes
+attention_mask=None (ref: w2v_custom_feat_extractor.py:176-181), so padded
+positions participate in softmax. Reproduced exactly.
+
+Attention is a plain dense softmax(QK^T)V — sequence lengths here are
+~25-170 post-unfold, far below where flash-style blocking pays off; matmuls
+are kept large and bf16-castable for the MXU.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wav2vec2forbrain_tpu.models.activations import ACT2FN
+from wav2vec2forbrain_tpu.models.fc import apply_linear, init_linear
+
+
+@dataclass
+class Wav2Vec2EncoderConfig:
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    final_dropout: float = 0.1
+    layerdrop: float = 0.1
+    layer_norm_eps: float = 1e-5
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    do_stable_layer_norm: bool = False
+    vocab_size: int = 32
+    feat_extract_activation: str = "gelu"
+
+    @classmethod
+    def base_960h(cls) -> "Wav2Vec2EncoderConfig":
+        return cls()
+
+    @classmethod
+    def large_960h(cls) -> "Wav2Vec2EncoderConfig":
+        return cls(
+            hidden_size=1024,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            intermediate_size=4096,
+            do_stable_layer_norm=True,
+        )
+
+    @classmethod
+    def tiny_test(cls, **kw) -> "Wav2Vec2EncoderConfig":
+        d = dict(
+            hidden_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=128,
+            num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4,
+        )
+        d.update(kw)
+        return cls(**d)
+
+
+# --- init ---------------------------------------------------------------------
+
+
+def _init_layer_norm(size: int) -> dict:
+    return {"scale": jnp.ones((size,), jnp.float32), "bias": jnp.zeros((size,), jnp.float32)}
+
+
+def init_w2v_encoder_params(rng, cfg: Wav2Vec2EncoderConfig) -> dict:
+    h = cfg.hidden_size
+    k = cfg.num_conv_pos_embeddings
+    groups = cfg.num_conv_pos_embedding_groups
+    rng, kc, kb = jax.random.split(rng, 3)
+    # torch conv default init: kaiming_uniform on (out, in/groups, k)
+    fan_in = (h // groups) * k
+    bound = 1.0 / math.sqrt(fan_in)
+    v = jax.random.uniform(
+        kc, (h, h // groups, k), jnp.float32, -math.sqrt(3.0) * bound, math.sqrt(3.0) * bound
+    )
+    # weight_norm init: g = ||v|| over dims (0,1) per k
+    g = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
+    pos_conv = {
+        "weight_g": g,
+        "weight_v": v,
+        "bias": jax.random.uniform(kb, (h,), jnp.float32, -bound, bound),
+    }
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        rng, k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 7)
+        layers.append(
+            {
+                "attention": {
+                    "q_proj": init_linear(k1, h, h),
+                    "k_proj": init_linear(k2, h, h),
+                    "v_proj": init_linear(k3, h, h),
+                    "out_proj": init_linear(k4, h, h),
+                },
+                "layer_norm": _init_layer_norm(h),
+                "feed_forward": {
+                    "intermediate_dense": init_linear(k5, h, cfg.intermediate_size),
+                    "output_dense": init_linear(k6, cfg.intermediate_size, h),
+                },
+                "final_layer_norm": _init_layer_norm(h),
+            }
+        )
+    params = {
+        "pos_conv": pos_conv,
+        "layer_norm": _init_layer_norm(h),
+        "layers": layers,
+    }
+    if cfg.do_stable_layer_norm:
+        # HF stable-layer-norm encoder shares the name "layer_norm" for its
+        # final norm; we keep one entry and apply it at the end instead.
+        pass
+    return params
+
+
+def init_lm_head_params(rng, cfg: Wav2Vec2EncoderConfig) -> dict:
+    return init_linear(rng, cfg.hidden_size, cfg.vocab_size)
+
+
+# --- forward ------------------------------------------------------------------
+
+
+def _layer_norm(p: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _dropout(rng, x: jnp.ndarray, rate: float, train: bool):
+    if not train or rate <= 0.0:
+        return rng, x
+    rng, sub = jax.random.split(rng)
+    keep = jax.random.bernoulli(sub, 1.0 - rate, x.shape)
+    return rng, jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def pos_conv_embed(p: dict, x: jnp.ndarray, cfg: Wav2Vec2EncoderConfig) -> jnp.ndarray:
+    """Grouped weight-normed conv positional embedding. x: (B, T, H)."""
+    g = p["weight_g"]  # (1, 1, k)
+    v = p["weight_v"]  # (out, in/groups, k)
+    norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
+    w = g * v / jnp.maximum(norm, 1e-12)
+    # torch conv weight (out, in/groups, k) -> ('NTC','TIO','NTC') kernel (k, in/groups, out)
+    rhs = jnp.transpose(w, (2, 1, 0)).astype(x.dtype)
+    k = cfg.num_conv_pos_embeddings
+    pad = k // 2
+    y = jax.lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NTC", "TIO", "NTC"),
+        feature_group_count=cfg.num_conv_pos_embedding_groups,
+    )
+    y = y + p["bias"]
+    if k % 2 == 0:  # SamePadLayer: trim the extra right output
+        y = y[:, : x.shape[1], :]
+    return ACT2FN[cfg.feat_extract_activation](y)
+
+
+def attention(
+    p: dict,
+    x: jnp.ndarray,
+    num_heads: int,
+    rng=None,
+    dropout: float = 0.0,
+    train: bool = False,
+    compute_dtype=None,
+) -> Tuple[jnp.ndarray, Optional[jax.Array]]:
+    """HF Wav2Vec2Attention (Bart-style): q scaled by head_dim**-0.5."""
+    b, t, h = x.shape
+    head_dim = h // num_heads
+    cd = compute_dtype or x.dtype
+
+    q = apply_linear(p["q_proj"], x, cd) * (head_dim**-0.5)
+    k = apply_linear(p["k_proj"], x, cd)
+    v = apply_linear(p["v_proj"], x, cd)
+
+    def split_heads(a):
+        return jnp.transpose(a.reshape(b, t, num_heads, head_dim), (0, 2, 1, 3))
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd), preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if train and dropout > 0.0:
+        rng, sub = jax.random.split(rng)
+        keep = jax.random.bernoulli(sub, 1.0 - dropout, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout), 0.0)
+    ctx = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(cd),
+        v.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h)
+    return apply_linear(p["out_proj"], ctx, cd), rng
+
+
+def feed_forward(
+    p: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2EncoderConfig,
+    rng=None,
+    train: bool = False,
+    compute_dtype=None,
+):
+    act = ACT2FN[cfg.hidden_act]
+    y = apply_linear(p["intermediate_dense"], x, compute_dtype)
+    y = act(y)
+    rng, y = _dropout(rng, y, cfg.activation_dropout, train)
+    y = apply_linear(p["output_dense"], y, compute_dtype)
+    rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
+    return y, rng
+
+
+def encoder_layer(
+    p: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2EncoderConfig,
+    rng=None,
+    train: bool = False,
+    compute_dtype=None,
+) -> Tuple[jnp.ndarray, Optional[jax.Array]]:
+    if cfg.do_stable_layer_norm:
+        residual = x
+        y = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
+        y, rng = attention(
+            p["attention"], y, cfg.num_attention_heads, rng,
+            cfg.attention_dropout, train, compute_dtype,
+        )
+        rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
+        x = residual + y
+        ff_in = _layer_norm(p["final_layer_norm"], x, cfg.layer_norm_eps)
+        y, rng = feed_forward(
+            p["feed_forward"], ff_in, cfg, rng, train, compute_dtype
+        )
+        x = x + y
+    else:
+        residual = x
+        y, rng = attention(
+            p["attention"], x, cfg.num_attention_heads, rng,
+            cfg.attention_dropout, train, compute_dtype,
+        )
+        rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
+        x = residual + y
+        x = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
+        y, rng = feed_forward(p["feed_forward"], x, cfg, rng, train, compute_dtype)
+        x = x + y
+        x = _layer_norm(p["final_layer_norm"], x, cfg.layer_norm_eps)
+    return x, rng
+
+
+def apply_w2v_encoder(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2EncoderConfig,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Full encoder. x: (B, T, H) -> (B, T, H).
+
+    LayerDrop is intentionally not applied: dropping whole layers is hostile
+    to a single traced program (data-dependent control flow) and the
+    reference's fine-tune configs don't rely on it. Divergence documented.
+    """
+    pos = pos_conv_embed(params["pos_conv"], x, cfg)
+    x = x + pos
+    if not cfg.do_stable_layer_norm:
+        x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+    rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
+    for layer in params["layers"]:
+        x, rng = encoder_layer(layer, x, cfg, rng, train, compute_dtype)
+    if cfg.do_stable_layer_norm:
+        x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+    return x
+
+
+def apply_lm_head(
+    params: dict,
+    hidden: jnp.ndarray,
+    cfg: Wav2Vec2EncoderConfig,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """ForCTC head: final_dropout then vocab projection
+    (ref: w2v_custom_feat_extractor.py:144-153)."""
+    rng, hidden = _dropout(rng, hidden, cfg.final_dropout, train)
+    return apply_linear(params, hidden, compute_dtype)
