@@ -1,0 +1,189 @@
+"""End-to-end training smoke tests on synthetic T12 data with tiny encoders.
+
+Covers the full lifecycle (construction → run() → artifacts), Trainer
+semantics (best-model reload, early stopping, history schema), checkpoint
+resume, and the multi-chip sharded path on the 8-device CPU mesh.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import wav2vec2forbrain_tpu.experiments.impl as impl
+from wav2vec2forbrain_tpu.args.base_args import PRETRAINED_LATENT_SIZES
+from wav2vec2forbrain_tpu.args.yaml_config import YamlConfigModel
+from wav2vec2forbrain_tpu.models.conformer import ConformerEncoderConfig
+from wav2vec2forbrain_tpu.models.wav2vec2 import Wav2Vec2EncoderConfig
+
+W2V_CKPT = "facebook/wav2vec2-base-960h"
+CONF_CKPT = "facebook/wav2vec2-conformer-rope-large-960h-ft"
+
+
+def tiny_yaml_config(tmp_path, splits_dir) -> YamlConfigModel:
+    return YamlConfigModel(
+        cache_dir=str(tmp_path / "cache"),
+        fig_dir=str(tmp_path / "figs"),
+        n3gram_lm_model_path=str(tmp_path / "missing_3gram.arpa"),
+        n5gram_lm_model_path=str(tmp_path / "missing_5gram.arpa"),
+        dataset_splits_dir=splits_dir,
+        wandb_api_key="offline",
+    )
+
+
+@pytest.fixture
+def tiny_encoders(monkeypatch):
+    """Patch checkpoint->config resolution to tiny encoder sizes."""
+
+    def fake_cfg(checkpoint):
+        if "conformer" in checkpoint:
+            return "conformer", ConformerEncoderConfig.tiny_test()
+        return "wav2vec2", Wav2Vec2EncoderConfig.tiny_test()
+
+    monkeypatch.setattr(impl, "encoder_config_for_checkpoint", fake_cfg)
+    monkeypatch.setitem(PRETRAINED_LATENT_SIZES, W2V_CKPT, 96)
+    monkeypatch.setitem(PRETRAINED_LATENT_SIZES, CONF_CKPT, 96)
+
+
+def base_config(**overrides) -> dict:
+    cfg = dict(
+        experiment_type="b2p2t_gru+w2v",
+        batch_size=3,
+        epochs=2,
+        learning_rate=1e-3,
+        w2v_skip_loading_weights=True,
+        encoder_gru_hidden_size=16,
+        encoder_num_gru_layers=1,
+        seed=0,
+        use_wandb=False,
+    )
+    cfg.update(overrides)
+    return cfg
+
+
+def test_gru_w2v_e2e_run(tmp_path, synthetic_splits_dir, tiny_encoders):
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    exp = impl.B2TGruAndW2VExperiment(base_config(), yaml_cfg)
+    exp.run()
+
+    # artifact layout parity (ref results dir contract)
+    assert os.path.exists(os.path.join(exp.results_dir, "config.json"))
+    assert os.path.exists(os.path.join(exp.results_dir, "model.msgpack"))
+    assert os.path.exists(os.path.join(exp.results_dir, "history.json"))
+    assert os.path.exists(os.path.join(exp.results_dir, "history.png"))
+    assert os.path.exists(os.path.join(exp.results_dir, "metrics.jsonl"))
+
+    with open(os.path.join(exp.results_dir, "history.json")) as f:
+        hist = json.load(f)
+    assert len(hist["epochs"]) == 2
+    # metric-name parity: sweeps key on test_ctc_loss / *_word_error_rate
+    avg = hist["epochs"][0]["val"]["average"]
+    assert "word_error_rate" in avg["metrics"]
+    assert np.isfinite(avg["loss"])
+    test_avg = hist["test"]["average"]
+    assert "word_error_rate" in test_avg["metrics"]
+
+    with open(os.path.join(exp.results_dir, "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    metric_rows = [l for l in lines if l["_type"] == "metrics"]
+    assert any("val_ctc_loss" in row for row in metric_rows)
+    assert any("test_ctc_loss" in row for row in metric_rows)
+
+
+def test_conformer_e2e_run(tmp_path, synthetic_splits_dir, tiny_encoders):
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    cfg = base_config(
+        experiment_type="b2p2t_gru+w2v_conformer",
+        wav2vec_checkpoint=CONF_CKPT,
+        tokenizer_checkpoint=CONF_CKPT,
+        epochs=1,
+        unfreeze_strategy="brain_encoder+w2v",
+        w2v_learning_rate=1e-4,
+        w2v_warmup_start_step=0,
+        w2v_warmup_steps=2,
+    )
+    cfg.pop("encoder_gru_hidden_size")
+    exp = impl.B2TGruAndW2VConformerExperiment(cfg, yaml_cfg)
+    exp.run()
+    assert os.path.exists(os.path.join(exp.results_dir, "model.msgpack"))
+    with open(os.path.join(exp.results_dir, "history.json")) as f:
+        hist = json.load(f)
+    assert len(hist["epochs"]) == 1
+    assert np.isfinite(hist["test"]["average"]["loss"])
+
+
+def test_early_stopping_and_best_model(tmp_path, synthetic_splits_dir, tiny_encoders):
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    cfg = base_config(
+        epochs=6,
+        early_stopping_patience=2,
+        early_stopping_delta=1e9,  # nothing counts as improvement
+    )
+    exp = impl.B2TGruAndW2VExperiment(cfg, yaml_cfg)
+    exp.run()
+    with open(os.path.join(exp.results_dir, "history.json")) as f:
+        hist = json.load(f)
+    # delta so large that epoch 0 of the window is always "best" -> stop at
+    # the patience boundary
+    assert len(hist["epochs"]) == 2
+
+
+def test_checkpoint_resume(tmp_path, synthetic_splits_dir, tiny_encoders):
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    exp = impl.B2TGruAndW2VExperiment(base_config(epochs=1), yaml_cfg)
+    exp.run()
+    ckpt = os.path.join(exp.results_dir, "model.msgpack")
+
+    exp2 = impl.B2TGruAndW2VExperiment(
+        base_config(epochs=1, from_checkpoint=ckpt), yaml_cfg
+    )
+    # history replay pre-seeds the early-stopping window
+    assert exp2.checkpoint_history is not None
+    assert len(exp2.checkpoint_history.epochs) == 1
+    exp2.run()
+    with open(os.path.join(exp2.results_dir, "history.json")) as f:
+        hist = json.load(f)
+    assert len(hist["epochs"]) == 2  # 1 replayed + 1 new
+
+
+def test_only_test_predictions(tmp_path, synthetic_splits_dir, tiny_encoders):
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    exp = impl.B2TGruAndW2VExperiment(
+        base_config(only_test=True, visualize_predictions_n_batches=1), yaml_cfg
+    )
+    exp.run()
+    pred_path = os.path.join(exp.results_dir, "test_predictions.json")
+    assert os.path.exists(pred_path)
+    with open(pred_path) as f:
+        preds = json.load(f)
+    assert len(preds["history"]) > 0
+    first = preds["history"][0]
+    assert "batch" in first and "predictions" in first["batch"]
+    assert os.path.exists(
+        os.path.join(exp.results_dir, "test_predictions", "batch_0.png")
+    )
+
+
+def test_data_parallel_mesh_run(tmp_path, synthetic_splits_dir, tiny_encoders):
+    """8-virtual-device CPU mesh: batch sharded over 'data', ragged last
+    batch padded+masked. Loss must match the single-device run."""
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    cfg = base_config(epochs=1, mesh_data_parallel=4, batch_size=3)
+    exp = impl.B2TGruAndW2VExperiment(cfg, yaml_cfg)
+    assert exp.mesh.shape["data"] == 4
+    exp.run()
+    with open(os.path.join(exp.results_dir, "history.json")) as f:
+        hist_dp = json.load(f)
+
+    cfg1 = base_config(epochs=1, mesh_data_parallel=1, batch_size=3)
+    exp1 = impl.B2TGruAndW2VExperiment(cfg1, yaml_cfg)
+    exp1.run()
+    with open(os.path.join(exp1.results_dir, "history.json")) as f:
+        hist_1 = json.load(f)
+
+    np.testing.assert_allclose(
+        hist_dp["test"]["average"]["loss"],
+        hist_1["test"]["average"]["loss"],
+        rtol=2e-4,
+    )

@@ -19,6 +19,10 @@ class B2tBatch(NamedTuple):
     day_idxs:    (B,) int32 recording-day index (0..23)
     input_lens:  (B,) int32 valid frames per sample
     target_lens: (B,) int32 valid target tokens per sample
+    sample_mask: (B,) float32 1.0 for real samples, 0.0 for rows added to pad
+                 the batch up to the data-parallel mesh axis (loss/metrics
+                 ignore padded rows; all-ones batches reproduce the
+                 reference's plain batch mean exactly)
     """
 
     input: np.ndarray
@@ -26,3 +30,4 @@ class B2tBatch(NamedTuple):
     day_idxs: np.ndarray
     input_lens: np.ndarray
     target_lens: Optional[np.ndarray]
+    sample_mask: Optional[np.ndarray] = None

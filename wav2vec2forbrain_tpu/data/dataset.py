@@ -207,6 +207,7 @@ class Brain2TextDataset:
                 target_lens=np.asarray(
                     [calc_seq_len(row) for row in label_ids], dtype=np.int32
                 ),
+                sample_mask=np.ones((len(batch),), dtype=np.float32),
             )
 
         return _collate

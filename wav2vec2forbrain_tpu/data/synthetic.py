@@ -27,11 +27,14 @@ def make_session_mat(
     path: str,
     n_trials: int = 6,
     n_blocks: int = 2,
-    min_frames: int = 40,
-    max_frames: int = 90,
+    min_frames: int = 150,
+    max_frames: int = 250,
     n_channels: int = 256,
     seed: int = 0,
 ) -> None:
+    """NB: frames must comfortably exceed the unfold contraction
+    ((T-32)//4 output frames) vs the sentence length in characters, or every
+    sample is CTC-infeasible and the loss is identically zero."""
     """Write one session .mat with the loader's expected schema."""
     rng = np.random.default_rng(seed)
     tx1 = np.empty((1, n_trials), dtype=object)
@@ -44,7 +47,8 @@ def make_session_mat(
         spike_pow[0, i] = (rng.gamma(2.0, 1.0, size=(t, n_channels))).astype(
             np.float64
         )
-        sentences.append(_random_sentence(rng, int(rng.integers(3, 8))))
+        # 2-4 words keeps target_len < (min_frames-32)//4 so CTC stays feasible
+        sentences.append(_random_sentence(rng, int(rng.integers(2, 5))))
         block_idx[i, 0] = float(i * n_blocks // n_trials + 1)
     savemat(
         path,

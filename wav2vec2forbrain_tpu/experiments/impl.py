@@ -1,0 +1,564 @@
+"""Experiment lifecycle: construction, run(), prediction dumps.
+
+TPU-native equivalent of the reference Experiment/B2TExperiment stack
+(ref: src/experiments/experiment.py:31-364, b2t_experiment.py:14-111,
+b2t_gru_w2v_experiment.py:79-207, b2t_gru_w2v_conformer_experiment.py:60-178).
+
+Construction mirrors the reference call stack (SURVEY.md §3.1): seeds →
+dataloaders → results dir + config.json (with repro_cmd) → model build
+(+ pretrained weight conversion) → optimizer/scheduler/steps → optional
+checkpoint resume. run() mirrors §3.2: logger init → Trainer.train() →
+artifact store (model.msgpack / brain_encoder.msgpack / history.json /
+history.png) → test prediction dump.
+
+Divergences (documented):
+- the GPT-2 "prefix beam search" LM that the reference loads but never uses
+  (experiment.py:87-95 — dead RAM weight) is NOT loaded; the flags remain.
+- checkpoints are flax msgpack pytrees, not torch state dicts.
+"""
+
+import json
+import os
+import random
+import sys
+from datetime import datetime
+from typing import Literal, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wav2vec2forbrain_tpu.args.base_args import PRETRAINED_LATENT_SIZES
+from wav2vec2forbrain_tpu.args.yaml_config import YamlConfigModel
+from wav2vec2forbrain_tpu.data.dataset import Brain2TextDataset
+from wav2vec2forbrain_tpu.data.loader import Brain2TextBatchSampler, DataLoader
+from wav2vec2forbrain_tpu.data.tokenizer import Wav2Vec2CTCTokenizer
+from wav2vec2forbrain_tpu.experiments.args_models import (
+    B2TGruAndW2VArgsModel,
+    B2TGruAndW2VConformerArgsModel,
+)
+from wav2vec2forbrain_tpu.models.assembly import (
+    ModelSpec,
+    forward_with_loss,
+    init_model_params,
+    param_labels,
+)
+from wav2vec2forbrain_tpu.models.conformer import ConformerEncoderConfig
+from wav2vec2forbrain_tpu.models.pretrained import (
+    encoder_config_for_checkpoint,
+    load_pretrained_encoder,
+)
+from wav2vec2forbrain_tpu.models.wav2vec2 import Wav2Vec2EncoderConfig
+from wav2vec2forbrain_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+)
+from wav2vec2forbrain_tpu.train.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    save_subtree,
+)
+from wav2vec2forbrain_tpu.train.evaluator import EvaluatorWithLMDecoder
+from wav2vec2forbrain_tpu.train.history import SingleEpochHistory, TrainHistory
+from wav2vec2forbrain_tpu.train.logger import make_logger
+from wav2vec2forbrain_tpu.train.optim import (
+    LRSchedules,
+    make_optimizer,
+    step_lr,
+    two_module_warmup_schedules,
+)
+from wav2vec2forbrain_tpu.train.steps import (
+    StepConfig,
+    build_steps,
+    merge_params,
+    partition_params,
+    prune_labels,
+)
+
+
+class B2TGruW2VExperimentBase:
+    """Shared lifecycle for the two registered experiment types."""
+
+    ARGS_MODEL = B2TGruAndW2VArgsModel
+    NAME = "b2p2t_gru+w2v"
+    ENCODER_FAMILY = "wav2vec2"
+
+    def __init__(self, config: dict, yamlConfig: YamlConfigModel):
+        self.base_config = self.ARGS_MODEL(**config)
+        self.config = self.base_config  # alias, reference uses both names
+        self.yaml_config = yamlConfig
+        self.raw_config = config
+
+        # seeds (ref: experiment.py:34-35)
+        np.random.seed(self.base_config.seed)
+        random.seed(self.base_config.seed)
+        self._init_rng = jax.random.PRNGKey(self.base_config.seed)
+
+        self.tokenizer = self._create_tokenizer()
+
+        self.dataloader_train = self._create_dataloader("train")
+        self.dataloader_val = self._create_dataloader("val")
+        self.dataloader_test = self._create_dataloader("test")
+
+        # results dir + config archive (ref: experiment.py:46-67)
+        subdir = (
+            [self.base_config.results_subdir_name]
+            if self.base_config.results_subdir_name is not None
+            else []
+        )
+        self.results_dir = os.path.join(
+            yamlConfig.cache_dir,
+            "experiment_results",
+            self.get_name(),
+            *subdir,
+            f"{datetime.now():%Y-%m-%d_%H#%M#%S}",
+        )
+        os.makedirs(self.results_dir, exist_ok=True)
+        with open(os.path.join(self.results_dir, "config.json"), "w") as f:
+            config_copy = dict(config)
+            config_copy["repro_cmd"] = "python " + " ".join(sys.argv)
+            json.dump(config_copy, f, indent=5)
+
+        # mesh (TPU-native; the reference is single-GPU `.cuda()`)
+        self.mesh = make_mesh(
+            self.base_config.mesh_data_parallel,
+            self.base_config.mesh_model_parallel,
+        )
+        self.batch_sharding_fn = batch_sharding(self.mesh)
+
+        self._build_model()
+        self._build_optimizer_and_steps()
+
+        # checkpoint resume (ref: experiment.py:70-84)
+        self.checkpoint_history = None
+        if self.base_config.from_checkpoint is not None:
+            print(
+                f"loading model from checkpoint {self.base_config.from_checkpoint}"
+            )
+            self._load_full_checkpoint(self.base_config.from_checkpoint)
+            history_path = os.path.join(
+                os.path.dirname(self.base_config.from_checkpoint), "history.json"
+            )
+            if os.path.exists(history_path):
+                print("Attempting to load history from checkpoint")
+                try:
+                    self.checkpoint_history = TrainHistory.from_json(history_path)
+                except Exception:
+                    print("Failed to load history from checkpoint")
+
+        self.step_rng = jax.random.PRNGKey(self.base_config.seed + 1)
+        self.logger = None  # created in run()
+
+    # --- subclass hooks -----------------------------------------------------
+
+    @classmethod
+    def get_args_model(cls):
+        return cls.ARGS_MODEL
+
+    def get_name(self) -> str:
+        return self.NAME
+
+    def get_vocab(self):
+        return self.tokenizer.get_vocab_list()
+
+    # --- construction pieces ------------------------------------------------
+
+    def _create_tokenizer(self) -> Wav2Vec2CTCTokenizer:
+        cfg = self.base_config
+        if cfg.tokenizer != "wav2vec_pretrained":
+            raise NotImplementedError(
+                f"Tokenizer {cfg.tokenizer} not implemented (reference parity: "
+                "only wav2vec_pretrained is live, b2t_experiment.py:37-48)"
+            )
+        if cfg.tokenizer_checkpoint != cfg.wav2vec_checkpoint:
+            print(
+                "Warning: tokenizer checkpoint differs from wav2vec checkpoint "
+                "(ref warns the same, b2t_gru_w2v_experiment.py:83-87)"
+            )
+        return Wav2Vec2CTCTokenizer.from_pretrained(cfg.tokenizer_checkpoint)
+
+    def _create_dataset(self, split: Literal["train", "val", "test"]):
+        return Brain2TextDataset(
+            config=self.base_config,
+            dataset_splits_dir=self.yaml_config.dataset_splits_dir,
+            split=split,
+        )
+
+    def _create_dataloader(self, split: Literal["train", "val", "test"]):
+        ds = self._create_dataset(split)
+        collate = ds.get_collate_fn(
+            self.tokenizer,
+            pad_to_multiple=self.base_config.pad_to_multiple,
+            target_pad_to_multiple=self.base_config.target_pad_to_multiple,
+        )
+        sampler = None
+        if getattr(self.base_config, "day_batches", False):
+            sampler = Brain2TextBatchSampler(
+                ds,
+                self.base_config.batch_size,
+                shuffle=(split == "train"),
+                rng=random.Random(self.base_config.seed),
+            )
+        return DataLoader(
+            ds,
+            batch_size=self.base_config.batch_size,
+            collate_fn=collate,
+            shuffle=(split == "train"),
+            batch_sampler=sampler,
+            seed=self.base_config.seed,
+        )
+
+    def _encoder_config(self):
+        family, enc_cfg = encoder_config_for_checkpoint(
+            self.base_config.wav2vec_checkpoint
+        )
+        assert family == self.ENCODER_FAMILY, (
+            f"checkpoint {self.base_config.wav2vec_checkpoint} is a {family} "
+            f"model but experiment {self.get_name()} expects {self.ENCODER_FAMILY}"
+        )
+        if family == "wav2vec2" and getattr(
+            self.base_config, "w2v_do_stable_layer_norm", False
+        ):
+            enc_cfg.do_stable_layer_norm = True
+        return enc_cfg
+
+    def _build_model(self):
+        cfg = self.base_config
+        latent = PRETRAINED_LATENT_SIZES[cfg.wav2vec_checkpoint]
+        enc_cfg = self._encoder_config()
+        self.spec = ModelSpec.from_args(
+            cfg,
+            latent_size=latent,
+            encoder_family=self.ENCODER_FAMILY,
+            encoder_cfg=enc_cfg,
+            ctc_loss_reduction=cfg.ctc_loss_reduction,
+            compute_dtype=(
+                jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+            ),
+        )
+        self._init_rng, k = jax.random.split(self._init_rng)
+        params, state = init_model_params(k, self.spec)
+
+        if not cfg.w2v_skip_loading_weights:
+            enc, head, enc_state = load_pretrained_encoder(
+                cfg.wav2vec_checkpoint, cache_dir=self.yaml_config.cache_dir
+            )
+            params["w2v"] = {
+                "encoder": jax.tree_util.tree_map(jnp.asarray, enc),
+                "lm_head": jax.tree_util.tree_map(jnp.asarray, head),
+            }
+            state = jax.tree_util.tree_map(jnp.asarray, enc_state)
+
+        if cfg.brain_encoder_path is not None:
+            # partial brain-encoder restore (ref: brain_feature_extractor.py:96-123)
+            loaded, _ = load_checkpoint(cfg.brain_encoder_path)
+            from flax import serialization
+
+            params["brain"] = serialization.from_state_dict(
+                jax.device_get(params["brain"]), loaded
+            )
+
+        self.labels = param_labels(params, cfg.unfreeze_strategy)
+        trainable, frozen = partition_params(params, self.labels)
+        self.trainable_labels = prune_labels(self.labels, trainable)
+
+        # place on mesh (params replicated unless a model axis is configured)
+        self.trainable = self.shard_params(trainable)
+        self.frozen = self.shard_params(frozen)
+        self.model_state = self.shard_params(state)
+
+    def shard_params(self, tree):
+        shardings = param_shardings(tree, self.mesh)
+        return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+    def _build_optimizer_and_steps(self):
+        cfg = self.base_config
+        self.tx = make_optimizer(
+            self.trainable_labels,
+            optimizer=cfg.optimizer,
+            weight_decay=cfg.weight_decay,
+            eps=cfg.optimizer_epsilon,
+        )
+        self.opt_state = jax.jit(self.tx.init)(self.trainable)
+        step_cfg = StepConfig(
+            gradient_clipping=cfg.gradient_clipping,
+            white_noise_sd=cfg.whiteNoiseSD,
+            constant_offset_sd=cfg.constantOffsetSD,
+        )
+        self.train_step, self.eval_step = build_steps(
+            self.spec, self.trainable_labels, self.tx, step_cfg
+        )
+        self.lr_schedules = self._make_lr_schedules()
+
+    def _make_lr_schedules(self) -> LRSchedules:
+        cfg = self.base_config
+        if cfg.unfreeze_strategy == "brain_encoder":
+            # frozen w2v: default StepLR on the brain group
+            # (ref: b2t_gru_w2v_experiment.py:150-158, experiment.py:356-364)
+            assert cfg.w2v_learning_rate is None, (
+                "w2v_learning_rate can only be set if unfreeze strategy is "
+                "brain_encoder+w2v"
+            )
+            assert cfg.w2v_warmup_steps is None, (
+                "w2v_warmup_steps can only be set if unfreeze strategy is "
+                "brain_encoder+w2v"
+            )
+            assert cfg.adjust_global_lr_to_w2v_postwarmup_lr is None, (
+                "adjust_global_lr_to_w2v_postwarmup_lr can only be set if "
+                "unfreeze strategy is brain_encoder+w2v"
+            )
+            brain = step_lr(
+                cfg.learning_rate, cfg.scheduler_step_size, cfg.scheduler_gamma
+            )
+            return LRSchedules(brain=brain, w2v=lambda e: 0.0)
+        return two_module_warmup_schedules(
+            cfg.learning_rate,
+            cfg.w2v_warmup_start_step or 0,
+            cfg.w2v_warmup_steps or 0,
+            (
+                cfg.w2v_learning_rate
+                if cfg.w2v_learning_rate is not None
+                else cfg.learning_rate
+            ),
+            cfg.adjust_global_lr_to_w2v_postwarmup_lr == True,
+        )
+
+    # --- evaluator ----------------------------------------------------------
+
+    def _make_lm_decoder(self):
+        cfg = self.base_config
+        if not cfg.lm_decode_test_predictions:
+            return None
+        try:
+            from wav2vec2forbrain_tpu.decode.lm_decode import make_lm_decoder
+
+            return make_lm_decoder(
+                vocab=self.tokenizer.get_vocab_list(),
+                lm_path=self.yaml_config.n3gram_lm_model_path,
+                beam_width=cfg.lm_decode_beam_width,
+                beam_prune_logp=cfg.lm_decode_beam_prune_logp,
+                token_min_logp=cfg.lm_decode_token_min_logp,
+                alpha=cfg.lm_decode_alpha,
+                beta=cfg.lm_decode_beta,
+                score_boundary=cfg.lm_score_boundary,
+            )
+        except Exception as e:
+            print(f"WARNING: LM decoder unavailable ({e}); greedy decode only")
+            return None
+
+    def create_evaluator(
+        self,
+        mode: Literal["train", "val", "test"],
+        track_non_test_predictions: bool = False,
+    ):
+        return EvaluatorWithLMDecoder(
+            self.tokenizer,
+            mode,
+            lm_decoder=self._make_lm_decoder() if mode == "test" else None,
+            track_non_test_predictions=track_non_test_predictions,
+            lm_decode_test_predictions=self.base_config.lm_decode_test_predictions,
+        )
+
+    def decode_predictions(self, pred_ids, targets=None):
+        """Greedy CTC decode (ref: b2t_experiment.py:53-65)."""
+        predicted = self.tokenizer.batch_decode(pred_ids, group_tokens=True)
+        labels = (
+            self.tokenizer.batch_decode(targets, group_tokens=False)
+            if targets is not None
+            else None
+        )
+        return predicted, labels
+
+    # --- checkpointing ------------------------------------------------------
+
+    def _merged_params(self):
+        return merge_params(
+            jax.device_get(self.trainable), jax.device_get(self.frozen)
+        )
+
+    def _load_full_checkpoint(self, path: str):
+        from flax import serialization
+
+        params, state = load_checkpoint(path)
+        template = self._merged_params()
+        params = serialization.from_state_dict(template, params)
+        trainable, frozen = partition_params(params, self.labels)
+        self.trainable = self.shard_params(trainable)
+        self.frozen = self.shard_params(frozen)
+        if state:
+            self.model_state = self.shard_params(
+                serialization.from_state_dict(
+                    jax.device_get(self.model_state), state
+                )
+            )
+
+    def store_trained_model(self):
+        save_checkpoint(
+            os.path.join(self.results_dir, "model.msgpack"),
+            self._merged_params(),
+            jax.device_get(self.model_state),
+        )
+        if getattr(self.base_config, "store_brain_encoder", False):
+            # (ref: b2t_gru_w2v_experiment.py:202-207)
+            save_subtree(
+                os.path.join(self.results_dir, "brain_encoder.msgpack"),
+                self._merged_params()["brain"],
+            )
+
+    # --- run ----------------------------------------------------------------
+
+    def run(self):
+        from wav2vec2forbrain_tpu.train.train_loop import Trainer
+
+        self.logger = make_logger(
+            self.results_dir,
+            self.raw_config,
+            self.base_config.use_wandb,
+            wandb_api_key=self.yaml_config.wandb_api_key,
+            wandb_project=self.yaml_config.wandb_project_name,
+            wandb_entity=self.yaml_config.wandb_entity,
+            experiment_name=self.base_config.experiment_name,
+        )
+        trainer = Trainer(self)
+        try:
+            if not self.base_config.only_test:
+                history = trainer.train()
+                # adopt trainer's (possibly best-reloaded) device state
+                self.trainable = trainer.trainable
+                self.frozen = trainer.frozen
+                self.opt_state = trainer.opt_state
+                self.model_state = trainer.model_state
+                self.store_trained_model()
+                with open(
+                    os.path.join(self.results_dir, "history.json"), "w"
+                ) as f:
+                    json.dump(history.to_dict(), f, indent=5)
+                self.plot_results(history)
+                self.process_test_results(history.test_losses)
+            else:
+                test_results = self.run_real_world_test(trainer)
+                if test_results is not None:
+                    self.logger.log(
+                        trainer._get_wandb_metrics(test_results, "test")
+                    )
+                    self.process_test_results(test_results)
+            print(f"Done. Saved results to {self.results_dir}")
+        finally:
+            self.logger.finish()
+
+    def plot_results(self, history: TrainHistory):
+        history.plot(
+            os.path.join(self.results_dir, "history.png"),
+            loss_name=self.base_config.loss_function,
+        )
+
+    def process_test_results(self, test_results: SingleEpochHistory):
+        pass
+
+    def run_real_world_test(self, trainer):
+        test_results = self._predict_and_store(trainer, "test")
+        if self.base_config.predict_on_train:
+            self._predict_and_store(trainer, "train")
+        return test_results
+
+    def _predict_and_store(self, trainer, mode: Literal["train", "test"]):
+        prediction = self._predict(trainer, mode)
+        if prediction is not None:
+            with open(
+                os.path.join(self.results_dir, f"{mode}_predictions.json"), "w"
+            ) as f:
+                json.dump(prediction.to_dict(), f, indent=5)
+        return prediction
+
+    def _predict(self, trainer, mode: Literal["train", "test"]):
+        dataloader = (
+            self.dataloader_train if mode == "train" else self.dataloader_test
+        )
+        evaluator = self.create_evaluator("test" if mode == "test" else "train", True)
+        n = len(dataloader)
+        for i, host_batch in enumerate(dataloader):
+            batch, true_b = trainer._put(host_batch)
+            loss, logits, logit_lens, pred_ids = trainer.eval_step(
+                trainer.trainable, trainer.frozen, trainer.model_state, batch
+            )
+            preds = {
+                "loss": float(loss),
+                "pred_ids": np.asarray(pred_ids)[:true_b],
+                "logits": np.asarray(logits)[:true_b],
+                "logit_lens": np.asarray(logit_lens)[:true_b],
+            }
+            evaluator.track_batch(preds, host_batch)
+            if i < self.base_config.visualize_predictions_n_batches:
+                out_dir = os.path.join(self.results_dir, f"{mode}_predictions")
+                os.makedirs(out_dir, exist_ok=True)
+                self.visualize_predictions(
+                    host_batch,
+                    preds,
+                    os.path.join(out_dir, f"batch_{i}.png"),
+                    i,
+                )
+            print(
+                f"Running predictions on {mode}. Batch {i + 1}/{n} done\r",
+                end="",
+            )
+        result = evaluator.evaluate()
+        evaluator.clean_up()
+        return result
+
+    def visualize_predictions(self, batch, preds, out_path: str, batch_id: int):
+        """Per-sample probability tables (ref: experiment.py:265-346)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.colors import Normalize
+
+        vocab = self.get_vocab()
+        logits = preds["logits"]
+        probs = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        probs = probs / probs.sum(axis=-1, keepdims=True)
+        batch_size, seq_len, vocab_size = probs.shape
+        nrows = min(batch_size, 4)
+        px = 1 / plt.rcParams["figure.dpi"]
+        fig, _axs = plt.subplots(
+            nrows=nrows,
+            figsize=(
+                max(seq_len * 18 * px, 4),
+                max(((vocab_size + 1) * 1.5) * nrows * 18 * px, 4),
+            ),
+        )
+        axs = np.atleast_1d(_axs)
+        norm = Normalize(vmin=0, vmax=1)
+        for sample_index in range(nrows):
+            ax = axs[sample_index]
+            ax.imshow(
+                probs[sample_index].T,
+                aspect="auto",
+                cmap="Blues",
+                norm=norm,
+                interpolation="nearest",
+            )
+            ax.set_yticks(range(vocab_size))
+            ax.set_yticklabels(vocab, fontsize=5)
+            ax.set_xlabel("frame")
+        plt.tight_layout()
+        plt.savefig(out_path)
+        plt.close(fig)
+
+
+class B2TGruAndW2VExperiment(B2TGruW2VExperimentBase):
+    """b2p2t_gru+w2v (ref: src/experiments/b2t_gru_w2v_experiment.py)."""
+
+    ARGS_MODEL = B2TGruAndW2VArgsModel
+    NAME = "b2p2t_gru+w2v"
+    ENCODER_FAMILY = "wav2vec2"
+
+
+class B2TGruAndW2VConformerExperiment(B2TGruW2VExperimentBase):
+    """b2p2t_gru+w2v_conformer
+    (ref: src/experiments/b2t_gru_w2v_conformer_experiment.py)."""
+
+    ARGS_MODEL = B2TGruAndW2VConformerArgsModel
+    NAME = "b2p2t_gru+w2v_conformer"
+    ENCODER_FAMILY = "conformer"

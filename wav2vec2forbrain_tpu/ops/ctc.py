@@ -25,6 +25,7 @@ def ctc_loss(
     target_lens: jnp.ndarray,
     reduction: str = "mean",
     blank_id: int = 0,
+    sample_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """logits: (B, T, K) raw (softmax applied internally); targets: (B, U)
     padded with any value beyond target_lens."""
@@ -51,9 +52,14 @@ def ctc_loss(
     feasible = logit_lens >= (target_lens + repeats)
     per_sample = jnp.where(feasible, per_sample, 0.0)
 
+    if sample_mask is not None:
+        per_sample = per_sample * sample_mask
     if reduction == "mean":
         denom = jnp.maximum(target_lens, 1).astype(per_sample.dtype)
-        return jnp.mean(per_sample / denom)
+        scaled = per_sample / denom
+        if sample_mask is not None:
+            return jnp.sum(scaled) / jnp.maximum(jnp.sum(sample_mask), 1.0)
+        return jnp.mean(scaled)
     if reduction == "sum":
         return jnp.sum(per_sample)
     return per_sample

@@ -1,0 +1,192 @@
+"""Evaluators: greedy decode + WER/CER tracking, optional LM decode hook.
+
+Mirrors the reference evaluator stack (ref: src/train/evaluator.py:20-242)
+with the same metric names — word_error_rate, char_error_rate,
+word_error_rate_lm_decode, char_error_rate_lm_decode — because the sweep
+YAMLs and analysis notebooks key on them.
+
+TPU-first deviation: evaluators consume already-argmaxed token ids (the
+argmax runs on device inside the jitted step; only (B, T') int32 ids cross
+device->host instead of full logit tensors). Full log-probs are transferred
+only for the test-time LM decode path, matching where the reference pays its
+D2H cost (ref: evaluator.py:189-210).
+"""
+
+from abc import ABC, abstractmethod
+from math import isnan, nan
+from typing import Callable, List, Literal, Optional
+
+import numpy as np
+
+from wav2vec2forbrain_tpu.train.history import (
+    DecodedPredictionBatch,
+    MetricEntry,
+    SingleEpochHistory,
+)
+from wav2vec2forbrain_tpu.train.metrics import char_error_rate, word_error_rate
+
+
+def cut_after_eos_token(string: str, eos_token: str = "</s>") -> str:
+    """Truncate after the first EOS (ref: evaluator.py:70-79)."""
+    idx = string.find(eos_token)
+    if idx != -1:
+        return string[: idx + len(eos_token)]
+    return string
+
+
+class Evaluator(ABC):
+    """Running/latest loss tracking (ref: evaluator.py:20-54)."""
+
+    def __init__(
+        self,
+        mode: Literal["train", "val", "test"],
+        track_non_test_predictions: bool = False,
+    ):
+        self.mode = mode
+        self.track_non_test_predictions = track_non_test_predictions
+        self._latest_loss = nan
+        self._running_loss = 0.0
+        self._running_count = 0
+
+    def track_batch(self, predictions, batch):
+        self._latest_loss = float(predictions["loss"])
+        self._running_loss += self._latest_loss
+        self._running_count += 1
+        self._track_batch(predictions, batch)
+
+    def get_latest_loss(self) -> float:
+        return self._latest_loss
+
+    def get_running_loss(self) -> float:
+        if self._running_count == 0:
+            return nan
+        return self._running_loss / self._running_count
+
+    @abstractmethod
+    def _track_batch(self, predictions, batch):
+        ...
+
+    @abstractmethod
+    def evaluate(self) -> SingleEpochHistory:
+        ...
+
+    def clean_up(self):
+        pass
+
+
+class DefaultEvaluator(Evaluator):
+    """Greedy decode + WER (ref: evaluator.py:57-120).
+
+    `predictions` dict keys: loss (float), pred_ids (B, T') int32 argmax ids,
+    metrics (dict, optional).
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        mode: Literal["train", "val", "test"],
+        track_non_test_predictions: bool = False,
+    ):
+        super().__init__(mode, track_non_test_predictions)
+        self.tokenizer = tokenizer
+        self.history = SingleEpochHistory()
+
+    def decode_predictions(self, predictions, batch):
+        predicted_strings = self.tokenizer.batch_decode(
+            np.asarray(predictions["pred_ids"]), group_tokens=True
+        )
+        label_strings = (
+            self.tokenizer.batch_decode(np.asarray(batch.target), group_tokens=False)
+            if batch.target is not None
+            else None
+        )
+        return predicted_strings, label_strings
+
+    def _track_batch(self, predictions, batch):
+        predicted_strings, label_strings = self.decode_predictions(predictions, batch)
+        predicted_strings = [cut_after_eos_token(s) for s in predicted_strings]
+
+        metrics = dict(predictions.get("metrics") or {})
+        if label_strings is not None:
+            metrics["word_error_rate"] = word_error_rate(
+                predicted_strings, label_strings
+            )
+        self.history.add_batch_metric(
+            MetricEntry(metrics, float(predictions["loss"])),
+            (
+                DecodedPredictionBatch(predicted_strings, label_strings)
+                if self.mode == "test" or self.track_non_test_predictions
+                else None
+            ),
+        )
+
+    def evaluate(self) -> SingleEpochHistory:
+        return self.history
+
+
+class EvaluatorWithLMDecoder(DefaultEvaluator):
+    """Adds CER always and beam-search+LM decode on the test split
+    (ref: evaluator.py:127-242).
+
+    `lm_decoder`: callable(log_probs (B, T', V) np.float32, logit_lens) ->
+    list[str]; runs host-side (native beam search / n-gram LM). Only invoked
+    when mode == "test" and lm_decode_test_predictions is set, matching the
+    reference's cost placement.
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        mode: Literal["train", "val", "test"],
+        lm_decoder: Optional[Callable] = None,
+        track_non_test_predictions: bool = False,
+        lm_decode_test_predictions: bool = False,
+    ):
+        super().__init__(tokenizer, mode, track_non_test_predictions)
+        self.lm_decoder = (
+            lm_decoder if (lm_decode_test_predictions and mode == "test") else None
+        )
+        self.lm_decoded_batches: List[List[str]] = []
+
+    def _track_batch(self, predictions, batch):
+        predicted_strings, label_strings = self.decode_predictions(predictions, batch)
+        predicted_strings = [cut_after_eos_token(s) for s in predicted_strings]
+
+        metrics = dict(predictions.get("metrics") or {})
+        decoded = DecodedPredictionBatch(predicted_strings, label_strings)
+        lm_decoded: Optional[List[str]] = None
+
+        if label_strings is not None:
+            metrics["word_error_rate"] = word_error_rate(
+                predicted_strings, label_strings
+            )
+            if self.lm_decoder is not None and self.mode == "test":
+                assert "logits" in predictions, (
+                    "LM decode requires logits in the predictions dict"
+                )
+                lm_decoded = self.lm_decoder(
+                    np.asarray(predictions["logits"]),
+                    np.asarray(predictions["logit_lens"]),
+                )
+                metrics["word_error_rate_lm_decode"] = word_error_rate(
+                    lm_decoded, label_strings
+                )
+                metrics["char_error_rate_lm_decode"] = char_error_rate(
+                    lm_decoded, label_strings
+                )
+            cer = char_error_rate(predicted_strings, label_strings)
+            if not isnan(cer):
+                metrics["char_error_rate"] = cer
+
+        self.history.add_batch_metric(
+            MetricEntry(metrics, float(predictions["loss"])),
+            (
+                decoded
+                if self.mode == "test" or self.track_non_test_predictions
+                else None
+            ),
+        )
+        if lm_decoded is not None:
+            # kept alongside for the predictions JSON dump (the reference's
+            # EnhancedDecodedBatch.predictions_lm_decoded, evaluator.py:210)
+            self.lm_decoded_batches.append(lm_decoded)

@@ -1,0 +1,225 @@
+"""Jitted, mesh-sharded train/eval steps.
+
+Everything between the host batch and the loss/logits is ONE compiled XLA
+program (SURVEY.md §7.1 design stance). The step functions are built once per
+experiment and closed over the static ModelSpec; LRs arrive as traced scalars
+so the host can drive the reference's per-EPOCH scheduler semantics
+(ref: src/train/train_loop.py:158) without recompiling.
+
+Differences vs the reference, by design:
+- the white-noise / constant-offset augmentation actually works here (the
+  reference discards `batch._replace(...)` at src/train/train_loop.py:51,62,
+  making the swept flags no-ops; BASELINE names them as features, so they are
+  implemented properly under jax.random and documented as a divergence)
+- frozen parameters (w2v subtree under unfreeze_strategy "brain_encoder",
+  dead inpLayer parity weights) are partitioned OUT of the differentiated
+  tree, so XLA dead-code-eliminates their weight-gradient matmuls (~1/3 of
+  backward FLOPs in the frozen setup). When gradient_clipping is on, grads
+  are taken over the full tree instead so the clip norm matches torch
+  clip_grad_norm_ over model.parameters() (ref: train_loop.py:72-75) exactly.
+"""
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from wav2vec2forbrain_tpu.models.assembly import ModelSpec, forward_with_loss
+from wav2vec2forbrain_tpu.train.optim import scale_updates_by_lr
+
+# --- pytree partition helpers (dict/list trees) -------------------------------
+
+
+def partition_params(params, labels):
+    """Split params into (trainable, frozen) trees with None holes."""
+
+    def go(p, l):
+        if isinstance(p, dict):
+            t = {}
+            f = {}
+            for k in p:
+                t[k], f[k] = go(p[k], l[k])
+            return t, f
+        if isinstance(p, (list, tuple)):
+            pairs = [go(a, b) for a, b in zip(p, l)]
+            return [x for x, _ in pairs], [y for _, y in pairs]
+        if l == "frozen":
+            return None, p
+        return p, None
+
+    return go(params, labels)
+
+
+def merge_params(trainable, frozen):
+    def go(t, f):
+        if isinstance(t, dict) or isinstance(f, dict):
+            keys = (t or f).keys()
+            return {k: go(None if t is None else t[k], None if f is None else f[k]) for k in keys}
+        if isinstance(t, (list, tuple)) or isinstance(f, (list, tuple)):
+            n = len(t if t is not None else f)
+            return [
+                go(None if t is None else t[i], None if f is None else f[i])
+                for i in range(n)
+            ]
+        return t if t is not None else f
+
+    return go(trainable, frozen)
+
+
+def prune_labels(labels, trainable):
+    """labels restricted to the trainable tree's structure (drop frozen)."""
+
+    def go(l, t):
+        if isinstance(t, dict):
+            return {k: go(l[k], t[k]) for k in t}
+        if isinstance(t, (list, tuple)):
+            return [go(a, b) for a, b in zip(l, t)]
+        return l if t is not None else None
+
+    return go(labels, trainable)
+
+
+class StepConfig(NamedTuple):
+    gradient_clipping: Optional[float]
+    white_noise_sd: float
+    constant_offset_sd: float
+
+
+class TrainStepOut(NamedTuple):
+    params: Any
+    opt_state: Any
+    model_state: Any
+    loss: jnp.ndarray
+    pred_ids: jnp.ndarray  # greedy argmax on device — tiny D2H transfer
+    logit_lens: jnp.ndarray
+    rng: jax.Array
+
+
+def build_steps(
+    spec: ModelSpec,
+    trainable_labels,
+    tx: optax.GradientTransformation,
+    step_cfg: StepConfig,
+):
+    """Returns (train_step, eval_step), jitted.
+
+    train_step(trainable, frozen, opt_state, model_state, batch, rng,
+               brain_lr, w2v_lr) -> TrainStepOut
+    eval_step(trainable, frozen, model_state, batch) ->
+               (loss, logits, logit_lens)
+    batch is the B2tBatch NamedTuple (arrays). Sharding is carried by the
+    arguments themselves (device_put with NamedShardings); jit propagates it.
+    """
+
+    def _loss(
+        params, model_state, x, day_idxs, input_lens, targets, target_lens, rng, mask
+    ):
+        out = forward_with_loss(
+            params,
+            model_state,
+            spec,
+            x,
+            day_idxs,
+            input_lens,
+            targets,
+            target_lens,
+            rng,
+            train=True,
+            sample_mask=mask,
+        )
+        return out["loss"], out
+
+    clip = step_cfg.gradient_clipping
+
+    def train_step(
+        trainable, frozen, opt_state, model_state, batch, rng, brain_lr, w2v_lr
+    ) -> TrainStepOut:
+        x = batch.input
+        rng, k_noise, k_off, k_model = jax.random.split(rng, 4)
+        if step_cfg.white_noise_sd > 0:
+            x = x + jax.random.normal(k_noise, x.shape, x.dtype) * step_cfg.white_noise_sd
+        if step_cfg.constant_offset_sd > 0:
+            x = x + (
+                jax.random.normal(
+                    k_off, (x.shape[0], 1, x.shape[2]), x.dtype
+                )
+                * step_cfg.constant_offset_sd
+            )
+
+        if clip is not None:
+            # full-tree grads so the clip norm includes frozen params' grads,
+            # matching torch clip_grad_norm_(model.parameters()).
+            def loss_full(t, f):
+                return _loss(
+                    merge_params(t, f), model_state, x, batch.day_idxs,
+                    batch.input_lens, batch.target, batch.target_lens, k_model,
+                    batch.sample_mask,
+                )
+
+            (loss, out), (g_t, g_f) = jax.value_and_grad(
+                loss_full, argnums=(0, 1), has_aux=True
+            )(trainable, frozen)
+            g_t, _ = clip_by_global_norm_pair(g_t, g_f, clip)
+        else:
+
+            def loss_trainable(t):
+                return _loss(
+                    merge_params(t, frozen), model_state, x, batch.day_idxs,
+                    batch.input_lens, batch.target, batch.target_lens, k_model,
+                    batch.sample_mask,
+                )
+
+            (loss, out), g_t = jax.value_and_grad(loss_trainable, has_aux=True)(
+                trainable
+            )
+
+        updates, new_opt_state = tx.update(g_t, opt_state, trainable)
+        updates = scale_updates_by_lr(updates, trainable_labels, brain_lr, w2v_lr)
+        new_trainable = optax.apply_updates(trainable, updates)
+        return TrainStepOut(
+            new_trainable,
+            new_opt_state,
+            out["state"],
+            loss,
+            jnp.argmax(out["logits"], axis=-1).astype(jnp.int32),
+            out["logit_lens"],
+            rng,
+        )
+
+    def eval_step(trainable, frozen, model_state, batch):
+        out = forward_with_loss(
+            merge_params(trainable, frozen),
+            model_state,
+            spec,
+            batch.input,
+            batch.day_idxs,
+            batch.input_lens,
+            batch.target,
+            batch.target_lens,
+            rng=None,
+            train=False,
+            sample_mask=batch.sample_mask,
+        )
+        loss = out["loss"]
+        if loss is None:
+            loss = jnp.float32(0.0)
+        pred_ids = jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
+        return loss, out["logits"], out["logit_lens"], pred_ids
+
+    return (
+        jax.jit(train_step, donate_argnums=(0, 2, 3)),
+        jax.jit(eval_step),
+    )
+
+
+def clip_by_global_norm_pair(g_t, g_f, max_norm: float):
+    """Clip both subtrees by their JOINT global norm (torch semantics)."""
+    norm = jnp.sqrt(
+        optax.global_norm(g_t) ** 2 + optax.global_norm(g_f) ** 2
+    )
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return (
+        jax.tree_util.tree_map(lambda g: g * scale, g_t),
+        jax.tree_util.tree_map(lambda g: g * scale, g_f),
+    )

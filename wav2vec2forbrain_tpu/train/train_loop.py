@@ -1,0 +1,318 @@
+"""Trainer: epoch loop with reference-parity semantics on a jitted TPU step.
+
+Reproduces the reference training contract (ref: src/train/train_loop.py):
+- epoch loop with per-EPOCH scheduler stepping (:158) — LRs are host scalars
+  computed from the schedules and fed into the compiled step
+- best-model-by-val-metric checkpointing to
+  cache_dir/model_checkpoints/<uuid>/best_model.msgpack (:135-151,168-179)
+- early stopping: stop when index 0 of the last-N val metrics (with delta
+  slack on entry 0) is still the best (:181-203)
+- reload best + delete temp files (:205-209), optional train_on_val_once
+  (:211-213), final test eval (:215-219)
+- wandb metric naming: {split}_{loss_function}_loss + per-metric prefixes
+  (:111-127)
+
+TPU-first differences:
+- model/optimizer state live on device between steps (donated buffers);
+  the host only sees the per-batch loss scalar + argmax ids for the evaluator
+- batches are device_put with a data-parallel NamedSharding when a mesh is
+  configured; ragged last batches are padded up to the data axis with
+  masked-out rows (exact loss, exact metrics)
+"""
+
+import os
+import time
+import uuid
+from typing import Literal, Optional
+
+import jax
+import numpy as np
+
+from wav2vec2forbrain_tpu.data.batch import B2tBatch
+from wav2vec2forbrain_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from wav2vec2forbrain_tpu.train.history import (
+    EpochLosses,
+    SingleEpochHistory,
+    TrainHistory,
+)
+from wav2vec2forbrain_tpu.train.steps import merge_params
+
+
+def _pad_batch(batch: B2tBatch, multiple: int) -> B2tBatch:
+    """Pad batch rows up to `multiple` with masked duplicates of row -1."""
+    b = batch.input.shape[0]
+    rem = b % multiple
+    if rem == 0:
+        return batch
+    pad = multiple - rem
+
+    def rep(a):
+        if a is None:
+            return None
+        return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+
+    mask = np.concatenate(
+        [
+            batch.sample_mask
+            if batch.sample_mask is not None
+            else np.ones((b,), np.float32),
+            np.zeros((pad,), np.float32),
+        ]
+    )
+    return B2tBatch(
+        input=rep(batch.input),
+        target=rep(batch.target),
+        day_idxs=rep(batch.day_idxs),
+        input_lens=rep(batch.input_lens),
+        target_lens=rep(batch.target_lens),
+        sample_mask=mask,
+    )
+
+
+class Trainer:
+    def __init__(self, experiment):
+        self.experiment = experiment
+        self.config = experiment.base_config
+        self.yaml_config = experiment.yaml_config
+        self.logger = experiment.logger
+
+        self.train_step = experiment.train_step
+        self.eval_step = experiment.eval_step
+        self.lr_schedules = experiment.lr_schedules
+        self.mesh = experiment.mesh
+        self.data_axis = experiment.mesh.shape["data"] if experiment.mesh else 1
+        self.batch_sharding = experiment.batch_sharding_fn
+
+        # device state
+        self.trainable = experiment.trainable
+        self.frozen = experiment.frozen
+        self.opt_state = experiment.opt_state
+        self.model_state = experiment.model_state
+        self.rng = experiment.step_rng
+
+        self.dataloader_train = experiment.dataloader_train
+        self.dataloader_val = experiment.dataloader_val
+        self.dataloader_test = experiment.dataloader_test
+
+        self.samples_seen = 0
+        self.train_step_time = 0.0
+
+    # --- helpers ------------------------------------------------------------
+
+    def _put(self, batch: B2tBatch) -> tuple:
+        """(padded device batch, true row count)."""
+        true_b = batch.input.shape[0]
+        batch = _pad_batch(batch, self.data_axis)
+        if self.batch_sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, self.batch_sharding), batch
+            )
+        return batch, true_b
+
+    def _log_intermediate(self, i: int, n: int, evaluator):
+        print(
+            f"Batch {i + 1}/{n} loss: {evaluator.get_latest_loss():.2f} "
+            f"running: {evaluator.get_running_loss():.2f}\r",
+            end="",
+        )
+
+    def _train_epoch(self, data_loader, epoch: int) -> SingleEpochHistory:
+        evaluator = self.experiment.create_evaluator("train")
+        brain_lr = float(self.lr_schedules.brain(epoch))
+        w2v_lr = float(self.lr_schedules.w2v(epoch))
+        n = len(data_loader)
+        for i, host_batch in enumerate(data_loader):
+            batch, true_b = self._put(host_batch)
+            t0 = time.perf_counter()
+            out = self.train_step(
+                self.trainable,
+                self.frozen,
+                self.opt_state,
+                self.model_state,
+                batch,
+                self.rng,
+                brain_lr,
+                w2v_lr,
+            )
+            self.trainable = out.params
+            self.opt_state = out.opt_state
+            self.model_state = out.model_state
+            self.rng = out.rng
+            loss = float(out.loss)  # blocks; step time is real
+            self.train_step_time += time.perf_counter() - t0
+            self.samples_seen += true_b
+            pred_ids = np.asarray(out.pred_ids)[:true_b]
+            evaluator.track_batch(
+                {"loss": loss, "pred_ids": pred_ids},
+                host_batch,
+            )
+            if i % self.config.log_every_n_batches == (
+                self.config.log_every_n_batches - 1
+            ):
+                self._log_intermediate(i, n, evaluator)
+        results = evaluator.evaluate()
+        evaluator.clean_up()
+        return results
+
+    def _evaluate_epoch(
+        self, mode: Literal["val", "test"], with_logits: bool = False
+    ) -> SingleEpochHistory:
+        dataloader = (
+            self.dataloader_val if mode == "val" else self.dataloader_test
+        )
+        evaluator = self.experiment.create_evaluator(mode)
+        n = len(dataloader)
+        for i, host_batch in enumerate(dataloader):
+            batch, true_b = self._put(host_batch)
+            loss, logits, logit_lens, pred_ids = self.eval_step(
+                self.trainable, self.frozen, self.model_state, batch
+            )
+            preds = {
+                "loss": float(loss),
+                "pred_ids": np.asarray(pred_ids)[:true_b],
+            }
+            if with_logits or getattr(evaluator, "lm_decoder", None) is not None:
+                preds["logits"] = np.asarray(logits)[:true_b]
+                preds["logit_lens"] = np.asarray(logit_lens)[:true_b]
+            evaluator.track_batch(preds, host_batch)
+            if i % self.config.log_every_n_batches == (
+                self.config.log_every_n_batches - 1
+            ):
+                self._log_intermediate(i, n, evaluator)
+        results = evaluator.evaluate()
+        evaluator.clean_up()
+        return results
+
+    def _get_wandb_metrics(self, epoch_hist: SingleEpochHistory, prefix: str):
+        avg = epoch_hist.get_average()
+        metrics = {f"{prefix}_{self.config.loss_function}_loss": avg.loss}
+        metrics.update({f"{prefix}_{k}": v for k, v in avg.metrics.items()})
+        return metrics
+
+    def _save_model(self, path: str):
+        params = merge_params(jax.device_get(self.trainable), jax.device_get(self.frozen))
+        save_checkpoint(path, params, jax.device_get(self.model_state))
+
+    def _load_model(self, path: str):
+        from wav2vec2forbrain_tpu.train.steps import partition_params
+
+        params, state = load_checkpoint(path)
+        merged_template = merge_params(self.trainable, self.frozen)
+        from flax import serialization
+
+        params = serialization.from_state_dict(
+            jax.device_get(merged_template), params
+        )
+        trainable, frozen = partition_params(params, self.experiment.labels)
+        self.trainable = self.experiment.shard_params(trainable)
+        self.frozen = self.experiment.shard_params(frozen)
+        if state:
+            self.model_state = serialization.from_state_dict(
+                jax.device_get(self.model_state), state
+            )
+
+    # --- main loop ----------------------------------------------------------
+
+    def train(self):
+        # NB: like the reference (train_loop.py:129-134,153), resuming from a
+        # checkpoint pre-seeds `history` (the early-stopping window continues)
+        # but the epoch counter and schedulers restart at 0 and the run does
+        # `epochs` MORE epochs.
+        history: list = (
+            self.experiment.checkpoint_history.epochs
+            if self.experiment.checkpoint_history is not None
+            else []
+        )
+        best_metric = float(
+            "inf" if self.config.minimize_best_model_metric else "-inf"
+        )
+        best_model_path = os.path.join(
+            self.yaml_config.cache_dir,
+            "model_checkpoints",
+            str(uuid.uuid4()),
+            "best_model.msgpack",
+        )
+        os.makedirs(os.path.dirname(best_model_path), exist_ok=True)
+        saved_best = False
+
+        def get_relevant_metric(epoch_hist: SingleEpochHistory):
+            avg = epoch_hist.get_average()
+            return (
+                avg.loss
+                if self.config.best_model_metric == "loss"
+                else avg.metrics[self.config.best_model_metric]
+            )
+
+        last_epoch = 0
+        for epoch in range(self.config.epochs):
+            last_epoch = epoch + 1
+            print(f"\nEpoch {epoch + 1}/{self.config.epochs}")
+            train_losses = self._train_epoch(self.dataloader_train, epoch)
+            val_losses = self._evaluate_epoch("val")
+            print(
+                f"\n\n{'=' * 20}\nFinished Epoch {epoch + 1}/{self.config.epochs} "
+                f"train {self.config.loss_function}-loss: "
+                f"{train_losses.get_average().loss} "
+                f"val {self.config.loss_function}-loss: "
+                f"{val_losses.get_average().loss}"
+            )
+            epoch_losses = EpochLosses(train_losses, val_losses)
+            history.append(epoch_losses)
+            metrics = self._get_wandb_metrics(val_losses, "val")
+            metrics.update(self._get_wandb_metrics(train_losses, "train"))
+            self.logger.log(metrics)
+
+            if self.config.return_best_model:
+                curr = get_relevant_metric(val_losses)
+                is_better = (
+                    curr < best_metric
+                    if self.config.minimize_best_model_metric
+                    else curr > best_metric
+                )
+                if is_better:
+                    best_metric = curr
+                    self._save_model(best_model_path)
+                    saved_best = True
+                    print(f"\n\nSaving model checkpoint at {best_model_path}\n")
+
+            if (
+                self.config.early_stopping_patience is not None
+                and len(history) >= self.config.early_stopping_patience
+            ):
+                window = [
+                    get_relevant_metric(e.val_losses) for e in history
+                ][-self.config.early_stopping_patience :]
+                if self.config.minimize_best_model_metric:
+                    window[0] -= self.config.early_stopping_delta
+                    best_index = int(np.argmin(window))
+                else:
+                    window[0] += self.config.early_stopping_delta
+                    best_index = int(np.argmax(window))
+                if best_index == 0:
+                    print(
+                        f"\nEarly stopping after {epoch} epochs "
+                        f"({self.config.early_stopping_patience} epochs without "
+                        f"improvement in validation "
+                        f"{self.config.best_model_metric} metrics)"
+                    )
+                    break
+
+        if self.config.return_best_model and saved_best:
+            self._load_model(best_model_path)
+            os.remove(best_model_path)
+            os.rmdir(os.path.dirname(best_model_path))
+            print(
+                "Loaded model with best validation loss of this experiment from disk"
+            )
+
+        if self.config.train_on_val_once:
+            print("Training one epoch on val set")
+            self._train_epoch(self.dataloader_val, last_epoch)
+
+        test_losses = self._evaluate_epoch("test")
+        self.logger.log(self._get_wandb_metrics(test_losses, "test"))
+        print(
+            f"\nTest loss ({self.config.loss_function}): "
+            f"{test_losses.get_average().loss}"
+        )
+        return TrainHistory(history, test_losses)
