@@ -178,15 +178,15 @@ class EvaluatorWithLMDecoder(DefaultEvaluator):
             if not isnan(cer):
                 metrics["char_error_rate"] = cer
 
+        stored = None
+        if self.mode == "test" or self.track_non_test_predictions:
+            stored = decoded._asdict()
+            if lm_decoded is not None:
+                # the reference's EnhancedDecodedBatch.predictions_lm_decoded
+                # (evaluator.py:210) — serialized into the predictions JSON
+                stored["predictions_lm_decoded"] = lm_decoded
         self.history.add_batch_metric(
-            MetricEntry(metrics, float(predictions["loss"])),
-            (
-                decoded
-                if self.mode == "test" or self.track_non_test_predictions
-                else None
-            ),
+            MetricEntry(metrics, float(predictions["loss"])), stored
         )
         if lm_decoded is not None:
-            # kept alongside for the predictions JSON dump (the reference's
-            # EnhancedDecodedBatch.predictions_lm_decoded, evaluator.py:210)
             self.lm_decoded_batches.append(lm_decoded)

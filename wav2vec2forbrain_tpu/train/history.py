@@ -70,7 +70,11 @@ class SingleEpochHistory:
     def to_dict(self):
         def get_batch(i):
             entry = self.decoded[i]
-            return entry._asdict() if entry is not None else {}
+            if entry is None:
+                return {}
+            # plain dicts carry extra fields (e.g. predictions_lm_decoded,
+            # the reference's EnhancedDecodedBatch, evaluator.py:210)
+            return entry if isinstance(entry, dict) else entry._asdict()
 
         return {
             "history": [
