@@ -190,3 +190,63 @@ class EvaluatorWithLMDecoder(DefaultEvaluator):
         )
         if lm_decoded is not None:
             self.lm_decoded_batches.append(lm_decoded)
+
+
+class B2PEvaluator(Evaluator):
+    """Phoneme-error-rate evaluator (ref: evaluator.py:245-313).
+
+    Consumes argmax ids over the phoneme vocab (blank=0); PER = total
+    phoneme-level edit distance / total reference phonemes, aggregated over
+    the whole batch like the reference.
+    """
+
+    def __init__(
+        self,
+        mode: Literal["train", "val", "test"],
+        track_non_test_predictions: bool = False,
+    ):
+        super().__init__(mode, track_non_test_predictions)
+        self.history = SingleEpochHistory()
+
+    def _track_batch(self, predictions, batch):
+        from wav2vec2forbrain_tpu.train.metrics import levenshtein
+        from wav2vec2forbrain_tpu.util.phoneme_helper import PHONE_DEF_SIL
+
+        pred_ids = np.asarray(predictions["pred_ids"])
+        total_dist = 0
+        total_len = 0
+        labels = []
+        predicted = []
+        for i in range(pred_ids.shape[0]):
+            if batch.target is None:
+                continue
+            # collapse repeats then drop blanks (greedy CTC decode)
+            seq = pred_ids[i]
+            collapsed = [
+                int(x) for j, x in enumerate(seq) if j == 0 or x != seq[j - 1]
+            ]
+            decoded = [x for x in collapsed if x != 0]
+            u = int(batch.target_lens[i]) if batch.target_lens is not None else None
+            true_seq = [int(x) for x in np.asarray(batch.target[i])[:u] if x > 0]
+            labels.append([PHONE_DEF_SIL[x - 1] for x in true_seq])
+            predicted.append([PHONE_DEF_SIL[x - 1] for x in decoded])
+            total_dist += levenshtein(true_seq, decoded)
+            total_len += len(true_seq)
+
+        per = total_dist / total_len if total_len else nan
+        metrics = dict(predictions.get("metrics") or {})
+        metrics["phoneme_error_rate"] = per
+        self.history.add_batch_metric(
+            MetricEntry(metrics, float(predictions["loss"])),
+            (
+                DecodedPredictionBatch(
+                    [" ".join(p) for p in predicted],
+                    [" ".join(l) for l in labels],
+                )
+                if self.mode == "test" or self.track_non_test_predictions
+                else None
+            ),
+        )
+
+    def evaluate(self) -> SingleEpochHistory:
+        return self.history
