@@ -1,0 +1,130 @@
+"""Latent-space comparison: brain-derived vs audio-derived w2v latents.
+
+Replaces the reference's latent-analysis tooling
+(ref: src/analysis/latent_analysis_util.py:39-222): embed neural recordings
+through the trained brain encoder and real speech through the audio conv
+frontend, then compare the two latent distributions (cosine similarity,
+PCA projections). The ElevenLabs TTS generation step is optional and only
+attempted when an API key is configured (network-dependent).
+"""
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def embed_brain(
+    experiment, max_batches: Optional[int] = None
+) -> np.ndarray:
+    """(N, latent) brain latents: preprocessing chain + GRU + FC, i.e. the
+    encoder input the w2v stack sees."""
+    import jax
+    import jax.numpy as jnp
+
+    latents = []
+    spec = experiment.spec
+    params = experiment._merged_params()
+    from wav2vec2forbrain_tpu.models.gru import apply_gru
+    from wav2vec2forbrain_tpu.models.fc import apply_fc
+    from wav2vec2forbrain_tpu.models.preprocessing import (
+        GAUSS_KERNEL_SIZE,
+        apply_preproc,
+        gaussian_kernel,
+    )
+
+    sk = gaussian_kernel(GAUSS_KERNEL_SIZE, spec.gaussian_smooth_width)
+
+    @jax.jit
+    def brain_forward(x, day_idxs, input_lens):
+        feats, out_lens = apply_preproc(
+            params["brain"]["preproc"], x, day_idxs, input_lens, sk,
+            spec.unfolder_kernel_len, spec.unfolder_stride_len,
+        )
+        h = apply_gru(
+            params["brain"]["gru"], feats, spec.gru_hidden_size,
+            spec.gru_num_layers, spec.gru_bidirectional,
+        )
+        return apply_fc(params["brain"]["fc"], h, spec.fc_activation), out_lens
+
+    for i, batch in enumerate(experiment.dataloader_test):
+        if max_batches is not None and i >= max_batches:
+            break
+        lat, lens = brain_forward(
+            jnp.asarray(batch.input),
+            jnp.asarray(batch.day_idxs),
+            jnp.asarray(batch.input_lens),
+        )
+        lat = np.asarray(lat)
+        for row, l in zip(lat, np.asarray(lens)):
+            latents.append(row[: max(int(l), 1)])
+    return np.concatenate(latents, axis=0)
+
+
+def embed_audio(
+    audio_batches, frontend_params, frontend_cfg
+) -> np.ndarray:
+    """(N, hidden) audio latents via the conv feature encoder + projection."""
+    import jax.numpy as jnp
+
+    from wav2vec2forbrain_tpu.models.audio_frontend import apply_audio_frontend
+
+    outs = []
+    for audio in audio_batches:
+        h = apply_audio_frontend(
+            frontend_params, jnp.asarray(audio, jnp.float32), frontend_cfg
+        )
+        outs.append(np.asarray(h).reshape(-1, h.shape[-1]))
+    return np.concatenate(outs, axis=0)
+
+
+def latent_statistics(
+    brain: np.ndarray, audio: np.ndarray, n_pca: int = 2
+) -> Dict[str, object]:
+    """Distribution comparison: norms, centroid cosine, PCA projections of
+    both sets in the joint principal space."""
+
+    def _norm_stats(x):
+        n = np.linalg.norm(x, axis=-1)
+        return {"mean_norm": float(n.mean()), "std_norm": float(n.std())}
+
+    stats: Dict[str, object] = {
+        "brain": _norm_stats(brain),
+        "audio": _norm_stats(audio),
+    }
+    cb, ca = brain.mean(axis=0), audio.mean(axis=0)
+    stats["centroid_cosine"] = float(
+        np.dot(cb, ca) / (np.linalg.norm(cb) * np.linalg.norm(ca) + 1e-9)
+    )
+    joint = np.concatenate([brain, audio], axis=0)
+    joint = joint - joint.mean(axis=0)
+    # PCA via SVD of the joint set
+    _u, s, vt = np.linalg.svd(joint, full_matrices=False)
+    proj = vt[:n_pca]
+    stats["pca_explained"] = [
+        float(v) for v in (s[:n_pca] ** 2 / np.sum(s**2))
+    ]
+    stats["brain_pca"] = (brain - joint.mean(axis=0)) @ proj.T
+    stats["audio_pca"] = (audio - joint.mean(axis=0)) @ proj.T
+    return stats
+
+
+def plot_latent_comparison(stats: Dict[str, object], out_path: str):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 6))
+    bp = np.asarray(stats["brain_pca"])
+    ap = np.asarray(stats["audio_pca"])
+    ax.scatter(bp[:, 0], bp[:, 1], s=4, alpha=0.4, label="brain latents")
+    ax.scatter(ap[:, 0], ap[:, 1], s=4, alpha=0.4, label="audio latents")
+    ax.set_xlabel("PC1")
+    ax.set_ylabel("PC2")
+    ax.legend()
+    ax.set_title(
+        f"centroid cosine = {stats['centroid_cosine']:.3f}"
+    )
+    plt.tight_layout()
+    plt.savefig(out_path)
+    plt.close(fig)

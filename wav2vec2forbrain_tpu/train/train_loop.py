@@ -94,8 +94,14 @@ class Trainer:
         self.dataloader_val = experiment.dataloader_val
         self.dataloader_test = experiment.dataloader_test
 
+        from wav2vec2forbrain_tpu.util.profiling import StepTimer
+
         self.samples_seen = 0
         self.train_step_time = 0.0
+        self.step_timer = StepTimer()
+        self.n_chips = (
+            self.mesh.devices.size if self.mesh is not None else 1
+        )
 
     # --- helpers ------------------------------------------------------------
 
@@ -139,7 +145,9 @@ class Trainer:
             self.model_state = out.model_state
             self.rng = out.rng
             loss = float(out.loss)  # blocks; step time is real
-            self.train_step_time += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.train_step_time += dt
+            self.step_timer.add(dt, true_b)
             self.samples_seen += true_b
             pred_ids = np.asarray(out.pred_ids)[:true_b]
             evaluator.track_batch(
@@ -260,6 +268,8 @@ class Trainer:
             history.append(epoch_losses)
             metrics = self._get_wandb_metrics(val_losses, "val")
             metrics.update(self._get_wandb_metrics(train_losses, "train"))
+            metrics.update(self.step_timer.metrics("train", self.n_chips))
+            self.step_timer.reset()
             self.logger.log(metrics)
 
             if self.config.return_best_model:
