@@ -25,6 +25,9 @@ A100_CONFORMER_SAMPLES_PER_SEC_EST = 24.0
 
 
 def main():
+    from wav2vec2forbrain_tpu.util.tpu_setup import configure_jax
+
+    configure_jax()
     import jax
     import jax.numpy as jnp
 

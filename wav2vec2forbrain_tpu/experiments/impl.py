@@ -90,7 +90,10 @@ class B2TGruW2VExperimentBase:
         self.yaml_config = yamlConfig
         self.raw_config = config
 
-        # seeds (ref: experiment.py:34-35)
+        # seeds (ref: experiment.py:34-35) + fast TPU PRNG
+        from wav2vec2forbrain_tpu.util.tpu_setup import configure_jax
+
+        configure_jax()
         np.random.seed(self.base_config.seed)
         random.seed(self.base_config.seed)
         self._init_rng = jax.random.PRNGKey(self.base_config.seed)

@@ -144,12 +144,15 @@ def apply_gru(
         dirs = params["layers"][layer]["directions"]
         outputs = []
         for di in range(num_directions):
+            # carry stays float32: gate math accumulates in f32 regardless of
+            # the matmul compute dtype (bf16 inputs would otherwise flip the
+            # scan carry dtype mid-loop)
             if h0_all is not None:
                 h0 = jnp.broadcast_to(
                     h0_all[layer * num_directions + di], (b, hidden_size)
-                )
+                ).astype(jnp.float32)
             else:
-                h0 = jnp.zeros((b, hidden_size), out.dtype)
+                h0 = jnp.zeros((b, hidden_size), jnp.float32)
             outputs.append(
                 _gru_direction(
                     dirs[di],

@@ -1,0 +1,40 @@
+"""Process-level JAX configuration for TPU training runs."""
+
+import os
+import tempfile
+
+_configured = False
+
+
+def configure_jax(prng_impl: str = "rbg"):
+    """Set the fast TPU PRNG.
+
+    Dropout dominates RNG volume in train steps; the default threefry2x32
+    costs ~100 ms/step on the conformer-large config vs ~0 for the
+    hardware-friendly 'rbg' generator (measured on v5e: 248 -> 148 ms/step).
+    Random streams differ from threefry — irrelevant for parity, the
+    reference's cuRAND streams differ from both.
+    """
+    global _configured
+    if _configured:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_default_prng_impl", prng_impl)
+    except Exception as e:  # unknown impl on old jax: keep default
+        print(f"WARNING: could not set prng impl {prng_impl}: {e}")
+
+    # Persistent compilation cache: conformer-large train-step compiles take
+    # minutes through the TPU tunnel; cache across processes.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), f"jax_cache_{os.getuid()}"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        print(f"WARNING: could not enable compilation cache: {e}")
+    _configured = True
