@@ -60,6 +60,7 @@ def main():
             encoder_family="conformer",
             conformer_cfg=cfg,
             compute_dtype=jnp.bfloat16,
+            use_pallas=True,
         )
     else:  # CPU smoke mode
         cfg = ConformerEncoderConfig.tiny_test()

@@ -239,6 +239,7 @@ class B2TGruW2VExperimentBase:
             compute_dtype=(
                 jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             ),
+            use_pallas=cfg.use_pallas,
         )
         self._init_rng, k = jax.random.split(self._init_rng)
         params, state = init_model_params(k, self.spec)

@@ -79,6 +79,7 @@ class ModelSpec:
     # training-time behaviour
     ctc_loss_reduction: str = "mean"
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused preprocessing kernel (ops/pallas_preproc)
 
     @property
     def encoder_cfg(self):
@@ -93,6 +94,7 @@ class ModelSpec:
         encoder_cfg,
         ctc_loss_reduction: str = "mean",
         compute_dtype=jnp.float32,
+        use_pallas: bool = False,
     ) -> "ModelSpec":
         return cls(
             unfolder_kernel_len=bfe_args.unfolder_kernel_len,
@@ -112,6 +114,7 @@ class ModelSpec:
             conformer_cfg=encoder_cfg if encoder_family == "conformer" else None,
             ctc_loss_reduction=ctc_loss_reduction,
             compute_dtype=compute_dtype,
+            use_pallas=use_pallas,
         )
 
 
@@ -183,17 +186,31 @@ def forward(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Batch (B, T, 256) -> (logits (B, T', vocab), logit_lens (B,), new_state)."""
     cd = spec.compute_dtype
-    smooth_kernel = gaussian_kernel(GAUSS_KERNEL_SIZE, spec.gaussian_smooth_width)
+    if spec.use_pallas:
+        from wav2vec2forbrain_tpu.ops.pallas_preproc import apply_preproc_pallas
 
-    feats, out_lens = apply_preproc(
-        params["brain"]["preproc"],
-        x,
-        day_idxs,
-        input_lens,
-        smooth_kernel,
-        spec.unfolder_kernel_len,
-        spec.unfolder_stride_len,
-    )
+        feats, out_lens = apply_preproc_pallas(
+            params["brain"]["preproc"],
+            x,
+            day_idxs,
+            input_lens,
+            spec.gaussian_smooth_width,
+            spec.unfolder_kernel_len,
+            spec.unfolder_stride_len,
+        )
+    else:
+        smooth_kernel = gaussian_kernel(
+            GAUSS_KERNEL_SIZE, spec.gaussian_smooth_width
+        )
+        feats, out_lens = apply_preproc(
+            params["brain"]["preproc"],
+            x,
+            day_idxs,
+            input_lens,
+            smooth_kernel,
+            spec.unfolder_kernel_len,
+            spec.unfolder_stride_len,
+        )
 
     if rng is not None:
         rng, gru_rng, enc_rng, head_rng = jax.random.split(rng, 4)
