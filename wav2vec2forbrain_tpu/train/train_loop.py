@@ -123,13 +123,31 @@ class Trainer:
         )
 
     def _train_epoch(self, data_loader, epoch: int) -> SingleEpochHistory:
+        """Lag-1 pipelined epoch: step i+1 is enqueued on the device before
+        step i's (tiny) outputs are fetched and decoded on the host, so the
+        per-batch D2H + WER decode — the reference's biggest per-step hazard
+        (SURVEY.md §3.2) — overlaps device compute instead of serializing."""
         evaluator = self.experiment.create_evaluator("train")
         brain_lr = float(self.lr_schedules.brain(epoch))
         w2v_lr = float(self.lr_schedules.w2v(epoch))
         n = len(data_loader)
+        pending = None  # (out, host_batch, true_b, index)
+        epoch_samples = 0
+        t_epoch = time.perf_counter()
+
+        def process(out, host_batch, true_b, i):
+            loss = float(out.loss)
+            pred_ids = np.asarray(out.pred_ids)[:true_b]
+            evaluator.track_batch(
+                {"loss": loss, "pred_ids": pred_ids}, host_batch
+            )
+            if i % self.config.log_every_n_batches == (
+                self.config.log_every_n_batches - 1
+            ):
+                self._log_intermediate(i, n, evaluator)
+
         for i, host_batch in enumerate(data_loader):
             batch, true_b = self._put(host_batch)
-            t0 = time.perf_counter()
             out = self.train_step(
                 self.trainable,
                 self.frozen,
@@ -144,20 +162,17 @@ class Trainer:
             self.opt_state = out.opt_state
             self.model_state = out.model_state
             self.rng = out.rng
-            loss = float(out.loss)  # blocks; step time is real
-            dt = time.perf_counter() - t0
-            self.train_step_time += dt
-            self.step_timer.add(dt, true_b)
             self.samples_seen += true_b
-            pred_ids = np.asarray(out.pred_ids)[:true_b]
-            evaluator.track_batch(
-                {"loss": loss, "pred_ids": pred_ids},
-                host_batch,
-            )
-            if i % self.config.log_every_n_batches == (
-                self.config.log_every_n_batches - 1
-            ):
-                self._log_intermediate(i, n, evaluator)
+            epoch_samples += true_b
+            if pending is not None:
+                process(*pending)
+            pending = (out, host_batch, true_b, i)
+        if pending is not None:
+            process(*pending)
+        dt_epoch = time.perf_counter() - t_epoch
+        self.train_step_time += dt_epoch
+        if epoch_samples:
+            self.step_timer.add(dt_epoch, epoch_samples, steps=n)
         results = evaluator.evaluate()
         evaluator.clean_up()
         return results
@@ -170,16 +185,18 @@ class Trainer:
         )
         evaluator = self.experiment.create_evaluator(mode)
         n = len(dataloader)
-        for i, host_batch in enumerate(dataloader):
-            batch, true_b = self._put(host_batch)
-            loss, logits, logit_lens, pred_ids = self.eval_step(
-                self.trainable, self.frozen, self.model_state, batch
-            )
+        need_logits = (
+            with_logits or getattr(evaluator, "lm_decoder", None) is not None
+        )
+        pending = None
+
+        def process(outs, host_batch, true_b, i):
+            loss, logits, logit_lens, pred_ids = outs
             preds = {
                 "loss": float(loss),
                 "pred_ids": np.asarray(pred_ids)[:true_b],
             }
-            if with_logits or getattr(evaluator, "lm_decoder", None) is not None:
+            if need_logits:
                 preds["logits"] = np.asarray(logits)[:true_b]
                 preds["logit_lens"] = np.asarray(logit_lens)[:true_b]
             evaluator.track_batch(preds, host_batch)
@@ -187,6 +204,19 @@ class Trainer:
                 self.config.log_every_n_batches - 1
             ):
                 self._log_intermediate(i, n, evaluator)
+
+        # lag-1 pipeline: host decode (incl. LM beam search on test) overlaps
+        # the next batch's device eval
+        for i, host_batch in enumerate(dataloader):
+            batch, true_b = self._put(host_batch)
+            outs = self.eval_step(
+                self.trainable, self.frozen, self.model_state, batch
+            )
+            if pending is not None:
+                process(*pending)
+            pending = (outs, host_batch, true_b, i)
+        if pending is not None:
+            process(*pending)
         results = evaluator.evaluate()
         evaluator.clean_up()
         return results

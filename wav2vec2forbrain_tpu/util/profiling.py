@@ -24,9 +24,9 @@ class StepTimer:
         self.steps = 0
         self.samples = 0
 
-    def add(self, dt: float, batch_size: int):
+    def add(self, dt: float, batch_size: int, steps: int = 1):
         self.total_time += dt
-        self.steps += 1
+        self.steps += steps
         self.samples += batch_size
 
     @property
