@@ -1,0 +1,52 @@
+"""Offline checkpoint converter: HF torch / reference .pt -> msgpack pytrees.
+
+Usage:
+  # pretrained encoder (+lm_head, +batchnorm state) from an HF checkpoint:
+  python tools/convert_checkpoint.py hf facebook/wav2vec2-base-960h out.msgpack
+
+  # a reference repo brain_encoder.pt into our params["brain"] subtree:
+  python tools/convert_checkpoint.py brain brain_encoder.pt out.msgpack
+
+The converted artifacts load with --brain_encoder_path / the pretrained
+loader, so models trained with the reference can be carried over.
+"""
+
+import sys
+
+
+def convert_hf(checkpoint: str, out_path: str, cache_dir=None):
+    from wav2vec2forbrain_tpu.models.pretrained import load_pretrained_encoder
+    from wav2vec2forbrain_tpu.train.checkpoint import save_checkpoint
+
+    enc, head, state = load_pretrained_encoder(checkpoint, cache_dir)
+    save_checkpoint(out_path, {"encoder": enc, "lm_head": head}, state)
+    print(f"wrote {out_path}")
+
+
+def convert_brain(pt_path: str, out_path: str):
+    import torch
+
+    from wav2vec2forbrain_tpu.models.convert import (
+        brain_encoder_from_torch,
+        state_dict_to_numpy,
+    )
+    from wav2vec2forbrain_tpu.train.checkpoint import save_subtree
+
+    sd = torch.load(pt_path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = state_dict_to_numpy(sd)
+    brain = brain_encoder_from_torch(sd)
+    save_subtree(out_path, brain)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 4 or sys.argv[1] not in ("hf", "brain"):
+        print(__doc__)
+        sys.exit(2)
+    mode, src, dst = sys.argv[1:4]
+    if mode == "hf":
+        convert_hf(src, dst)
+    else:
+        convert_brain(src, dst)

@@ -241,3 +241,58 @@ def conformer_batch_norm_state_from_torch(
             for i in range(num_layers)
         ]
     }
+
+
+# --- reference brain encoder (B2P2TModel + FC/GRU) ----------------------------
+
+
+def brain_encoder_from_torch(sd: Dict[str, np.ndarray]) -> dict:
+    """Convert a reference `brain_encoder.pt` state dict
+    (B2P2TModel(B2TBrainFeatureExtractor), ref: src/model/b2p2t_model.py:93-136
+    and brain_feature_extractor.py:23-54) into our `params["brain"]` subtree.
+
+    GRU geometry is inferred from the key names/shapes. The 24 dead
+    `inpLayer{i}` Linears are carried into the parity slot; keys named
+    `discriminator`/`suc_for_ctc` are dropped like the reference's partial
+    load (ref: brain_feature_extractor.py:109-122).
+    """
+    sd = {
+        k: v
+        for k, v in sd.items()
+        if not (k.startswith("discriminator") or k.startswith("suc_for_ctc"))
+    }
+    g = "neural_decoder.encoder.gru"
+    num_layers = 0
+    while f"{g}.weight_ih_l{num_layers}" in sd:
+        num_layers += 1
+    if num_layers == 0:
+        raise KeyError("no GRU weights found under neural_decoder.encoder.gru")
+    bidirectional = f"{g}.weight_ih_l0_reverse" in sd
+    bias = f"{g}.bias_ih_l0" in sd
+    hidden_start = sd.get("neural_decoder.encoder.hidden_start")
+    if hidden_start is not None:
+        # torch stores (L*D, 1, H); ours is (L*D, H)
+        hidden_start = np.asarray(hidden_start).reshape(
+            hidden_start.shape[0], -1
+        )
+    gru = gru_from_torch(sd, g, num_layers, bidirectional, bias, hidden_start)
+
+    n_fc = sum(
+        1
+        for k in sd
+        if k.startswith("neural_decoder.encoder.fc.") and k.endswith(".weight")
+    )
+    fc = fc_from_torch(sd, "neural_decoder.encoder.fc", n_fc)
+
+    n_days = sd["day_weights"].shape[0]
+    inp_w = np.stack([sd[f"inpLayer{i}.weight"] for i in range(n_days)])
+    inp_b = np.stack([sd[f"inpLayer{i}.bias"] for i in range(n_days)])
+    return {
+        "preproc": {
+            "day_weights": sd["day_weights"],
+            "day_bias": sd["day_bias"],
+            "inp_layers": {"weight": inp_w, "bias": inp_b},
+        },
+        "gru": gru,
+        "fc": fc,
+    }
