@@ -187,3 +187,29 @@ def test_data_parallel_mesh_run(tmp_path, synthetic_splits_dir, tiny_encoders):
         hist_1["test"]["average"]["loss"],
         rtol=2e-4,
     )
+
+
+def test_model_parallel_mesh_run(tmp_path, synthetic_splits_dir, tiny_encoders):
+    """2x2 dp x tp mesh: Megatron-style sharded encoder matmuls must give
+    the same losses as the unsharded run."""
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    cfg = base_config(
+        epochs=1, mesh_data_parallel=2, mesh_model_parallel=2, batch_size=2
+    )
+    exp = impl.B2TGruAndW2VExperiment(cfg, yaml_cfg)
+    assert exp.mesh.shape == {"data": 2, "model": 2}
+    exp.run()
+    with open(os.path.join(exp.results_dir, "history.json")) as f:
+        hist_tp = json.load(f)
+
+    cfg1 = base_config(epochs=1, mesh_data_parallel=1, batch_size=2)
+    exp1 = impl.B2TGruAndW2VExperiment(cfg1, yaml_cfg)
+    exp1.run()
+    with open(os.path.join(exp1.results_dir, "history.json")) as f:
+        hist_1 = json.load(f)
+
+    np.testing.assert_allclose(
+        hist_tp["test"]["average"]["loss"],
+        hist_1["test"]["average"]["loss"],
+        rtol=2e-4,
+    )

@@ -90,9 +90,13 @@ class B2TGruW2VExperimentBase:
         self.yaml_config = yamlConfig
         self.raw_config = config
 
-        # seeds (ref: experiment.py:34-35) + fast TPU PRNG
+        # seeds (ref: experiment.py:34-35) + fast TPU PRNG + multi-host init
+        from wav2vec2forbrain_tpu.parallel.distributed import (
+            maybe_initialize_distributed,
+        )
         from wav2vec2forbrain_tpu.util.tpu_setup import configure_jax
 
+        maybe_initialize_distributed()
         configure_jax()
         np.random.seed(self.base_config.seed)
         random.seed(self.base_config.seed)
