@@ -19,10 +19,11 @@ import os
 def maybe_initialize_distributed() -> bool:
     """Returns True if jax.distributed was initialized."""
     explicit = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    auto_env = any(
-        v in os.environ
-        for v in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
-    )
+    # multi-host only when the worker list names >1 host (single-host TPU-VM
+    # boots set TPU_WORKER_HOSTNAMES=localhost)
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker = len([w for w in workers.split(",") if w.strip()]) > 1
+    auto_env = multi_worker or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
     if not explicit and not auto_env:
         return False
     import jax
@@ -37,10 +38,11 @@ def maybe_initialize_distributed() -> bool:
     try:
         jax.distributed.initialize(**kwargs)
         return True
-    except RuntimeError as e:
+    except (RuntimeError, ValueError) as e:
         if "already" in str(e):
             return True
-        raise
+        print(f"WARNING: jax.distributed.initialize failed: {e}")
+        return False
 
 
 def process_batch_slice(global_batch: int) -> tuple:

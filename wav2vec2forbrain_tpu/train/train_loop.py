@@ -106,9 +106,15 @@ class Trainer:
     # --- helpers ------------------------------------------------------------
 
     def _put(self, batch: B2tBatch) -> tuple:
-        """(padded device batch, true row count)."""
+        """(padded device batch, true row count).
+
+        Rows are padded up to the full configured batch size (rounded to the
+        data-axis), so ragged last batches never trigger a recompile; padded
+        rows are masked out of loss and metrics (exact reference numerics)."""
         true_b = batch.input.shape[0]
-        batch = _pad_batch(batch, self.data_axis)
+        target = max(self.config.batch_size, true_b)
+        full = ((target + self.data_axis - 1) // self.data_axis) * self.data_axis
+        batch = _pad_batch(batch, full)
         if self.batch_sharding is not None:
             batch = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, self.batch_sharding), batch
