@@ -1,0 +1,104 @@
+"""Scan-over-layers conformer: identical numerics to the unrolled encoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wav2vec2forbrain_tpu.models.conformer import (
+    ConformerEncoderConfig,
+    apply_conformer_encoder,
+    apply_conformer_encoder_scanned,
+    init_conformer_encoder_params,
+    init_conformer_state,
+    stack_conformer_layers,
+    unstack_conformer_layers,
+)
+
+
+def setup():
+    cfg = ConformerEncoderConfig.tiny_test(num_hidden_layers=3)
+    p = init_conformer_encoder_params(jax.random.PRNGKey(0), cfg)
+    # perturb so layers differ
+    p = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * np.random.default_rng(0).standard_normal(a.shape).astype(a.dtype),
+        p,
+    )
+    s = init_conformer_state(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, cfg.hidden_size))
+    return cfg, p, s, x
+
+
+def test_scanned_matches_unrolled_eval():
+    cfg, p, s, x = setup()
+    y_ref, s_ref = apply_conformer_encoder(p, s, x, cfg, None, False)
+    ps, ss = stack_conformer_layers(p, s)
+    y_scan, s_scan = apply_conformer_encoder_scanned(ps, ss, x, cfg, None, False)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_ref), atol=1e-5)
+    # batch-norm state unchanged in eval
+    for i in range(cfg.num_hidden_layers):
+        np.testing.assert_allclose(
+            np.asarray(s_scan["layers_stacked"]["batch_norm"]["mean"][i]),
+            np.asarray(s_ref["layers"][i]["batch_norm"]["mean"]),
+        )
+
+
+def test_scanned_train_mode_updates_state():
+    cfg, p, s, x = setup()
+    # dropout 0 so train-mode outputs are comparable; batch-norm uses batch
+    # stats and updates running stats
+    import dataclasses
+
+    cfg0 = dataclasses.replace(
+        cfg,
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        conformer_conv_dropout=0.0,
+        final_dropout=0.0,
+    )
+    rng = jax.random.PRNGKey(2)
+    y_ref, s_ref = apply_conformer_encoder(p, s, x, cfg0, rng, True)
+    ps, ss = stack_conformer_layers(p, s)
+    y_scan, s_scan = apply_conformer_encoder_scanned(ps, ss, x, cfg0, rng, True)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_ref), atol=1e-5)
+    for i in range(cfg.num_hidden_layers):
+        np.testing.assert_allclose(
+            np.asarray(s_scan["layers_stacked"]["batch_norm"]["mean"][i]),
+            np.asarray(s_ref["layers"][i]["batch_norm"]["mean"]),
+            atol=1e-6,
+        )
+
+
+def test_stack_round_trip():
+    cfg, p, s, x = setup()
+    ps, ss = stack_conformer_layers(p, s)
+    p2, s2 = unstack_conformer_layers(ps, ss, cfg.num_hidden_layers)
+    a = jax.tree_util.tree_leaves(p)
+    b = jax.tree_util.tree_leaves(p2)
+    assert all(np.array_equal(np.asarray(x1), np.asarray(x2)) for x1, x2 in zip(a, b))
+
+
+def test_grads_match():
+    cfg, p, s, x = setup()
+
+    def loss_ref(p_):
+        y, _ = apply_conformer_encoder(p_, s, x, cfg, None, False)
+        return jnp.sum(y**2)
+
+    ps, ss = stack_conformer_layers(p, s)
+
+    def loss_scan(ps_):
+        y, _ = apply_conformer_encoder_scanned(ps_, ss, x, cfg, None, False)
+        return jnp.sum(y**2)
+
+    g_ref = jax.grad(loss_ref)(p)
+    g_scan = jax.grad(loss_scan)(ps)
+    g_ref_stacked, _ = stack_conformer_layers(
+        {"layers": g_ref["layers"], "layer_norm": g_ref["layer_norm"], "pos_conv": g_ref["pos_conv"]},
+        {"layers": [{} for _ in range(cfg.num_hidden_layers)]},
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_scan["layers_stacked"]["ffn1"]["intermediate_dense"]["kernel"]),
+        np.asarray(g_ref_stacked["layers_stacked"]["ffn1"]["intermediate_dense"]["kernel"]),
+        atol=1e-4,
+    )

@@ -181,3 +181,10 @@ class BaseExperimentArgsModel(BaseModel):
         False,
         description="Use fused Pallas TPU kernels for the preprocessing chain",
     )
+    scan_layers: bool = Field(
+        True,
+        description=(
+            "Run the conformer encoder's layer loop as one lax.scan over "
+            "stacked layer params (identical numerics, ~10x faster compile)"
+        ),
+    )

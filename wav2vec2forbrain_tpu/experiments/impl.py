@@ -244,6 +244,9 @@ class B2TGruW2VExperimentBase:
                 jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             ),
             use_pallas=cfg.use_pallas,
+            scan_layers=(
+                cfg.scan_layers and self.ENCODER_FAMILY == "conformer"
+            ),
         )
         self._init_rng, k = jax.random.split(self._init_rng)
         params, state = init_model_params(k, self.spec)
@@ -252,11 +255,22 @@ class B2TGruW2VExperimentBase:
             enc, head, enc_state = load_pretrained_encoder(
                 cfg.wav2vec_checkpoint, cache_dir=self.yaml_config.cache_dir
             )
+            enc = jax.tree_util.tree_map(jnp.asarray, enc)
+            enc_state = jax.tree_util.tree_map(jnp.asarray, enc_state)
+            if self.spec.scan_layers:
+                from wav2vec2forbrain_tpu.models.conformer import (
+                    stack_conformer_layers,
+                )
+
+                enc, inner = stack_conformer_layers(
+                    enc, enc_state["encoder"]
+                )
+                enc_state = {"encoder": inner}
             params["w2v"] = {
-                "encoder": jax.tree_util.tree_map(jnp.asarray, enc),
+                "encoder": enc,
                 "lm_head": jax.tree_util.tree_map(jnp.asarray, head),
             }
-            state = jax.tree_util.tree_map(jnp.asarray, enc_state)
+            state = enc_state
 
         if cfg.brain_encoder_path is not None:
             # partial brain-encoder restore (ref: brain_feature_extractor.py:96-123)

@@ -80,6 +80,7 @@ class ModelSpec:
     ctc_loss_reduction: str = "mean"
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False  # fused preprocessing kernel (ops/pallas_preproc)
+    scan_layers: bool = False  # conformer layers as one lax.scan (fast compile)
 
     @property
     def encoder_cfg(self):
@@ -95,6 +96,7 @@ class ModelSpec:
         ctc_loss_reduction: str = "mean",
         compute_dtype=jnp.float32,
         use_pallas: bool = False,
+        scan_layers: bool = False,
     ) -> "ModelSpec":
         return cls(
             unfolder_kernel_len=bfe_args.unfolder_kernel_len,
@@ -115,6 +117,7 @@ class ModelSpec:
             ctc_loss_reduction=ctc_loss_reduction,
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
+            scan_layers=scan_layers,
         )
 
 
@@ -158,7 +161,14 @@ def init_model_params(rng, spec: ModelSpec) -> Tuple[dict, dict]:
         cfg = spec.conformer_cfg
         encoder = init_conformer_encoder_params(k_enc, cfg)
         head = init_linear(k_head, cfg.hidden_size, cfg.vocab_size)
-        state = {"encoder": init_conformer_state(cfg)}
+        enc_state = init_conformer_state(cfg)
+        if spec.scan_layers:
+            from wav2vec2forbrain_tpu.models.conformer import (
+                stack_conformer_layers,
+            )
+
+            encoder, enc_state = stack_conformer_layers(encoder, enc_state)
+        state = {"encoder": enc_state}
     params = {"brain": brain, "w2v": {"encoder": encoder, "lm_head": head}}
     return params, state
 
@@ -241,7 +251,15 @@ def forward(
         )
     else:
         cfg = spec.conformer_cfg
-        hidden, new_enc_state = apply_conformer_encoder(
+        if "layers_stacked" in params["w2v"]["encoder"]:
+            from wav2vec2forbrain_tpu.models.conformer import (
+                apply_conformer_encoder_scanned,
+            )
+
+            enc_fn = apply_conformer_encoder_scanned
+        else:
+            enc_fn = apply_conformer_encoder
+        hidden, new_enc_state = enc_fn(
             params["w2v"]["encoder"], state["encoder"], latents, cfg, enc_rng, train, cd
         )
         new_state = {"encoder": new_enc_state}

@@ -69,16 +69,22 @@ def _path_str(path) -> str:
 
 
 def param_pspec(path, leaf, shard_model: bool) -> P:
-    """PartitionSpec for one param leaf. Everything not matched replicates."""
+    """PartitionSpec for one param leaf. Everything not matched replicates.
+
+    Rank-aware: scan-stacked layers carry a leading layer dim that stays
+    unsharded."""
     if not shard_model:
         return P()
     s = _path_str(path)
+    ndim = getattr(leaf, "ndim", None)
+    lead = [None] * (ndim - 2) if ndim and ndim > 2 else []
     if _COL_KERNEL.search(s):
-        return P(None, "model")
+        return P(*lead, None, "model")
     if _ROW_KERNEL.search(s):
-        return P("model", None)
+        return P(*lead, "model", None)
     if _COL_BIAS.search(s):
-        return P("model")
+        lead1 = [None] * (ndim - 1) if ndim and ndim > 1 else []
+        return P(*lead1, "model")
     return P()
 
 
