@@ -238,6 +238,7 @@ def forward(
         gru_rng,
         spec.gru_learnable_initial_state,
         compute_dtype=cd,
+        use_pallas=(spec.use_pallas and spec.gru_bidirectional),
     )
     latents = apply_fc(params["brain"]["fc"], h, spec.fc_activation, cd)
 

@@ -117,6 +117,50 @@ def _gru_direction(
     return ys
 
 
+def _bigru_layer_fused(
+    dirs: list, x: jnp.ndarray, h0: jnp.ndarray, compute_dtype=None
+) -> jnp.ndarray:
+    """Both directions of one layer in ONE scan.
+
+    The forward stream and the time-reversed backward stream are stacked on
+    a leading direction axis, so each scan step does a single
+    (2, B, H) x (2, H, 3H) batched matmul instead of two half-size launches
+    in two separate scans. x: (B, T, in); h0: (2, B, H) f32."""
+    xs = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)  # (2, B, T, in)
+    cd = compute_dtype or x.dtype
+    w_ih = jnp.stack([d["w_ih"] for d in dirs]).astype(cd)  # (2, in, 3H)
+    w_hh = jnp.stack([d["w_hh"] for d in dirs]).astype(cd)  # (2, H, 3H)
+    gi = jnp.einsum(
+        "dbti,dik->dbtk", xs.astype(cd), w_ih, preferred_element_type=jnp.float32
+    )
+    if "b_ih" in dirs[0]:
+        b_ih = jnp.stack([d["b_ih"] for d in dirs])  # (2, 3H)
+        gi = gi + b_ih[:, None, None, :]
+    gi = jnp.moveaxis(gi, 2, 0)  # (T, 2, B, 3H)
+    b_hh = None
+    if "b_hh" in dirs[0]:
+        b_hh = jnp.stack([d["b_hh"] for d in dirs])[:, None, :]  # (2, 1, 3H)
+
+    def step(h, gi_t):
+        gh = jnp.einsum(
+            "dbh,dhk->dbk", h.astype(cd), w_hh, preferred_element_type=jnp.float32
+        )
+        if b_hh is not None:
+            gh = gh + b_hh
+        gi_r, gi_z, gi_n = jnp.split(gi_t, 3, axis=-1)
+        gh_r, gh_z, gh_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(gi_r + gh_r)
+        z = jax.nn.sigmoid(gi_z + gh_z)
+        n = jnp.tanh(gi_n + r * gh_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, ys = jax.lax.scan(step, h0, gi)  # ys: (T, 2, B, H)
+    fwd = jnp.transpose(ys[:, 0], (1, 0, 2))  # (B, T, H)
+    bwd = jnp.flip(jnp.transpose(ys[:, 1], (1, 0, 2)), axis=1)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
 def apply_gru(
     params: dict,
     x: jnp.ndarray,
@@ -128,10 +172,13 @@ def apply_gru(
     dropout_rng: Optional[jax.Array] = None,
     use_learnable_initial_state: bool = False,
     compute_dtype=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Full stacked (bi)GRU. x: (B, T, in) -> (B, T, H * num_directions).
 
     Inter-layer dropout (not after the last layer) matches torch nn.GRU.
+    use_pallas runs each bidirectional layer's recurrence as one fused
+    Pallas kernel (ops/pallas_gru.py) instead of a lax.scan.
     """
     b = x.shape[0]
     num_directions = 2 if bidirectional else 1
@@ -142,28 +189,39 @@ def apply_gru(
     out = x
     for layer in range(num_layers):
         dirs = params["layers"][layer]["directions"]
-        outputs = []
-        for di in range(num_directions):
-            # carry stays float32: gate math accumulates in f32 regardless of
-            # the matmul compute dtype (bf16 inputs would otherwise flip the
-            # scan carry dtype mid-loop)
+        if num_directions == 2:
+            # carry stays float32: gate math accumulates in f32 regardless
+            # of the matmul compute dtype
             if h0_all is not None:
                 h0 = jnp.broadcast_to(
-                    h0_all[layer * num_directions + di], (b, hidden_size)
+                    h0_all[
+                        layer * num_directions : layer * num_directions + 2,
+                        None,
+                        :,
+                    ],
+                    (2, b, hidden_size),
+                ).astype(jnp.float32)
+            else:
+                h0 = jnp.zeros((2, b, hidden_size), jnp.float32)
+            if use_pallas:
+                from wav2vec2forbrain_tpu.ops.pallas_gru import (
+                    bigru_layer_pallas,
+                )
+
+                out = bigru_layer_pallas(dirs, out, h0, compute_dtype)
+            else:
+                out = _bigru_layer_fused(dirs, out, h0, compute_dtype)
+        else:
+            if h0_all is not None:
+                h0 = jnp.broadcast_to(
+                    h0_all[layer], (b, hidden_size)
                 ).astype(jnp.float32)
             else:
                 h0 = jnp.zeros((b, hidden_size), jnp.float32)
-            outputs.append(
-                _gru_direction(
-                    dirs[di],
-                    out,
-                    h0,
-                    hidden_size,
-                    reverse=(di == 1),
-                    compute_dtype=compute_dtype,
-                )
+            out = _gru_direction(
+                dirs[0], out, h0, hidden_size, reverse=False,
+                compute_dtype=compute_dtype,
             )
-        out = jnp.concatenate(outputs, axis=-1) if num_directions == 2 else outputs[0]
         if train and dropout > 0.0 and layer < num_layers - 1:
             assert dropout_rng is not None, "dropout_rng required in train mode"
             dropout_rng, sub = jax.random.split(dropout_rng)
