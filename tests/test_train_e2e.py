@@ -147,6 +147,27 @@ def test_checkpoint_resume(tmp_path, synthetic_splits_dir, tiny_encoders):
     assert len(hist["epochs"]) == 2  # 1 replayed + 1 new
 
 
+def test_periodic_train_state_resume(tmp_path, synthetic_splits_dir, tiny_encoders):
+    """Full train-state checkpoint (params+optimizer+rng) resumes exactly
+    where it stopped: epochs continue, optimizer moments survive."""
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    exp = impl.B2TGruAndW2VExperiment(
+        base_config(epochs=2, checkpoint_every_n_epochs=1), yaml_cfg
+    )
+    exp.run()
+    state_dir = os.path.join(exp.results_dir, "train_state")
+    assert os.path.exists(os.path.join(state_dir, "state.msgpack"))
+
+    exp2 = impl.B2TGruAndW2VExperiment(
+        base_config(epochs=4, resume_train_state=state_dir), yaml_cfg
+    )
+    exp2.run()
+    with open(os.path.join(exp2.results_dir, "history.json")) as f:
+        hist = json.load(f)
+    # 2 replayed epochs + 2 new ones
+    assert len(hist["epochs"]) == 4
+
+
 def test_only_test_predictions(tmp_path, synthetic_splits_dir, tiny_encoders):
     yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
     exp = impl.B2TGruAndW2VExperiment(

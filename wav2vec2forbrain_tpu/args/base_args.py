@@ -188,3 +188,20 @@ class BaseExperimentArgsModel(BaseModel):
             "stacked layer params (identical numerics, ~10x faster compile)"
         ),
     )
+    checkpoint_every_n_epochs: Optional[int] = Field(
+        None,
+        description=(
+            "Periodically save the FULL training state (params, optimizer "
+            "moments, batch-norm stats, history) to results_dir/train_state "
+            "for failure recovery; resume with --resume_train_state"
+        ),
+    )
+    resume_train_state: Optional[str] = Field(
+        None,
+        description=(
+            "Path to a periodic train_state checkpoint dir/file; restores "
+            "params+optimizer+history and continues from the saved epoch "
+            "(unlike --from_checkpoint, which restores params only and "
+            "restarts schedulers, matching the reference)"
+        ),
+    )

@@ -20,6 +20,7 @@ TPU-first differences:
   masked-out rows (exact loss, exact metrics)
 """
 
+import json
 import os
 import time
 import uuid
@@ -27,6 +28,12 @@ from typing import Literal, Optional
 
 import jax
 import numpy as np
+
+
+def jnp_asarray_rng(a):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(a, dtype=np.uint32))
 
 from wav2vec2forbrain_tpu.data.batch import B2tBatch
 from wav2vec2forbrain_tpu.train.checkpoint import load_checkpoint, save_checkpoint
@@ -233,6 +240,78 @@ class Trainer:
         metrics.update({f"{prefix}_{k}": v for k, v in avg.metrics.items()})
         return metrics
 
+    # --- periodic full-train-state checkpoints (failure recovery; TPU-native
+    # addition, SURVEY.md §5: the reference loses a crashed run entirely) ----
+
+    def _train_state_path(self) -> str:
+        return os.path.join(
+            self.experiment.results_dir, "train_state", "state.msgpack"
+        )
+
+    def _save_train_state(self, epoch: int, history: list):
+        from flax import serialization
+
+        path = self._train_state_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        opt_leaves, _ = jax.tree_util.tree_flatten(jax.device_get(self.opt_state))
+        bundle = {
+            "params": serialization.to_state_dict(
+                merge_params(
+                    jax.device_get(self.trainable), jax.device_get(self.frozen)
+                )
+            ),
+            "state": serialization.to_state_dict(
+                jax.device_get(self.model_state)
+            ),
+            "opt_leaves": {str(i): np.asarray(l) for i, l in enumerate(opt_leaves)},
+            "rng": np.asarray(jax.device_get(self.rng)),
+            "epoch": epoch,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.msgpack_serialize(bundle))
+        os.replace(tmp, path)
+        hist_path = os.path.join(os.path.dirname(path), "history.json")
+        with open(hist_path, "w") as f:
+            json.dump(
+                TrainHistory(history, SingleEpochHistory()).to_dict(), f
+            )
+
+    def restore_train_state(self, path: str):
+        """Returns (next_epoch, history). Restores params, optimizer moments,
+        batch-norm stats, and the RNG — exact continuation."""
+        from flax import serialization
+
+        from wav2vec2forbrain_tpu.train.steps import partition_params
+
+        if os.path.isdir(path):
+            path = os.path.join(path, "state.msgpack")
+        with open(path, "rb") as f:
+            bundle = serialization.msgpack_restore(f.read())
+        template = merge_params(
+            jax.device_get(self.trainable), jax.device_get(self.frozen)
+        )
+        params = serialization.from_state_dict(template, bundle["params"])
+        trainable, frozen = partition_params(params, self.experiment.labels)
+        self.trainable = self.experiment.shard_params(trainable)
+        self.frozen = self.experiment.shard_params(frozen)
+        self.model_state = self.experiment.shard_params(
+            serialization.from_state_dict(
+                jax.device_get(self.model_state), bundle["state"]
+            )
+        )
+        leaves, treedef = jax.tree_util.tree_flatten(self.opt_state)
+        new_leaves = [
+            bundle["opt_leaves"][str(i)] for i in range(len(leaves))
+        ]
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        self.rng = jnp_asarray_rng(bundle["rng"])
+        history = []
+        hist_path = os.path.join(os.path.dirname(path), "history.json")
+        if os.path.exists(hist_path):
+            history = list(TrainHistory.from_json(hist_path).epochs)
+        return int(bundle["epoch"]) + 1, history
+
     def _save_model(self, path: str):
         params = merge_params(jax.device_get(self.trainable), jax.device_get(self.frozen))
         save_checkpoint(path, params, jax.device_get(self.model_state))
@@ -287,8 +366,15 @@ class Trainer:
                 else avg.metrics[self.config.best_model_metric]
             )
 
+        start_epoch = 0
+        if self.config.resume_train_state:
+            start_epoch, history = self.restore_train_state(
+                self.config.resume_train_state
+            )
+            print(f"Resumed full train state at epoch {start_epoch}")
+
         last_epoch = 0
-        for epoch in range(self.config.epochs):
+        for epoch in range(start_epoch, self.config.epochs):
             last_epoch = epoch + 1
             print(f"\nEpoch {epoch + 1}/{self.config.epochs}")
             train_losses = self._train_epoch(self.dataloader_train, epoch)
@@ -307,6 +393,11 @@ class Trainer:
             metrics.update(self.step_timer.metrics("train", self.n_chips))
             self.step_timer.reset()
             self.logger.log(metrics)
+
+            every = self.config.checkpoint_every_n_epochs
+            if every is not None and (epoch + 1) % every == 0:
+                self._save_train_state(epoch, history)
+                print(f"Saved train state at {self._train_state_path()}")
 
             if self.config.return_best_model:
                 curr = get_relevant_metric(val_losses)
