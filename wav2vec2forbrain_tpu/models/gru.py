@@ -203,7 +203,9 @@ def apply_gru(
                 ).astype(jnp.float32)
             else:
                 h0 = jnp.zeros((2, b, hidden_size), jnp.float32)
-            if use_pallas:
+            # the Pallas recurrence needs lane-aligned gate slices
+            # (hidden_size % 128 == 0); otherwise fall back to the scan
+            if use_pallas and hidden_size % 128 == 0:
                 from wav2vec2forbrain_tpu.ops.pallas_gru import (
                     bigru_layer_pallas,
                 )

@@ -20,6 +20,15 @@ def configure_jax(prng_impl: str = "rbg"):
         return
     import jax
 
+    # honour an explicit JAX_PLATFORMS env var — the axon sitecustomize
+    # force-sets jax_platforms="axon,cpu" regardless of the environment
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
     try:
         jax.config.update("jax_default_prng_impl", prng_impl)
     except Exception as e:  # unknown impl on old jax: keep default
