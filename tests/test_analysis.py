@@ -56,6 +56,48 @@ def test_latent_statistics_and_plot(tmp_path):
     assert (tmp_path / "latent.png").exists()
 
 
+def test_embed_brain_and_audio(tmp_path, synthetic_splits_dir, monkeypatch):
+    """Latent-analysis embeddings run against a real (tiny) experiment."""
+    import jax
+
+    import wav2vec2forbrain_tpu.experiments.impl as impl
+    from tests.test_train_e2e import base_config, tiny_yaml_config
+    from wav2vec2forbrain_tpu.args.base_args import PRETRAINED_LATENT_SIZES
+    from wav2vec2forbrain_tpu.models.wav2vec2 import Wav2Vec2EncoderConfig
+    from wav2vec2forbrain_tpu.analysis.latent_analysis import (
+        embed_audio,
+        embed_brain,
+        latent_statistics,
+    )
+    from wav2vec2forbrain_tpu.models.audio_frontend import (
+        FeatureEncoderConfig,
+        init_feature_encoder_params,
+    )
+
+    def fake_cfg(checkpoint):
+        return "wav2vec2", Wav2Vec2EncoderConfig.tiny_test()
+
+    monkeypatch.setattr(impl, "encoder_config_for_checkpoint", fake_cfg)
+    monkeypatch.setitem(
+        PRETRAINED_LATENT_SIZES, "facebook/wav2vec2-base-960h", 96
+    )
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    exp = impl.B2TGruAndW2VExperiment(base_config(), yaml_cfg)
+    brain = embed_brain(exp, max_batches=1)
+    assert brain.ndim == 2 and brain.shape[1] == 96
+
+    fe_cfg = FeatureEncoderConfig(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=96,
+    )
+    fe_params = init_feature_encoder_params(jax.random.PRNGKey(0), fe_cfg)
+    audio = [np.random.default_rng(0).standard_normal((2, 400)).astype(np.float32)]
+    aud = embed_audio(audio, fe_params, fe_cfg)
+    assert aud.shape[1] == 96
+    stats = latent_statistics(brain, aud)
+    assert "centroid_cosine" in stats
+
+
 def test_step_timer():
     t = StepTimer()
     t.add(0.1, 32)

@@ -23,7 +23,9 @@ def embed_brain(
 
     latents = []
     spec = experiment.spec
-    params = experiment._merged_params()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, experiment._merged_params()
+    )
     from wav2vec2forbrain_tpu.models.gru import apply_gru
     from wav2vec2forbrain_tpu.models.fc import apply_fc
     from wav2vec2forbrain_tpu.models.preprocessing import (
