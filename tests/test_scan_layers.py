@@ -78,6 +78,38 @@ def test_stack_round_trip():
     assert all(np.array_equal(np.asarray(x1), np.asarray(x2)) for x1, x2 in zip(a, b))
 
 
+def test_w2v_scanned_matches_unrolled():
+    from wav2vec2forbrain_tpu.models.wav2vec2 import (
+        Wav2Vec2EncoderConfig,
+        apply_w2v_encoder,
+        apply_w2v_encoder_scanned,
+        init_w2v_encoder_params,
+        stack_w2v_layers,
+        unstack_w2v_layers,
+    )
+
+    for stable in (False, True):
+        cfg = Wav2Vec2EncoderConfig.tiny_test(
+            num_hidden_layers=3, do_stable_layer_norm=stable
+        )
+        p = init_w2v_encoder_params(jax.random.PRNGKey(0), cfg)
+        p = jax.tree_util.tree_map(
+            lambda a: a
+            + 0.01
+            * np.random.default_rng(1).standard_normal(a.shape).astype(a.dtype),
+            p,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 20, cfg.hidden_size))
+        y_ref = apply_w2v_encoder(p, x, cfg)
+        ps = stack_w2v_layers(p)
+        y_scan = apply_w2v_encoder_scanned(ps, x, cfg)
+        np.testing.assert_allclose(
+            np.asarray(y_scan), np.asarray(y_ref), atol=1e-5
+        )
+        p2 = unstack_w2v_layers(ps, cfg.num_hidden_layers)
+        assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(p)
+
+
 def test_grads_match():
     cfg, p, s, x = setup()
 

@@ -244,9 +244,7 @@ class B2TGruW2VExperimentBase:
                 jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             ),
             use_pallas=cfg.use_pallas,
-            scan_layers=(
-                cfg.scan_layers and self.ENCODER_FAMILY == "conformer"
-            ),
+            scan_layers=cfg.scan_layers,
         )
         self._init_rng, k = jax.random.split(self._init_rng)
         params, state = init_model_params(k, self.spec)
@@ -258,14 +256,21 @@ class B2TGruW2VExperimentBase:
             enc = jax.tree_util.tree_map(jnp.asarray, enc)
             enc_state = jax.tree_util.tree_map(jnp.asarray, enc_state)
             if self.spec.scan_layers:
-                from wav2vec2forbrain_tpu.models.conformer import (
-                    stack_conformer_layers,
-                )
+                if self.ENCODER_FAMILY == "conformer":
+                    from wav2vec2forbrain_tpu.models.conformer import (
+                        stack_conformer_layers,
+                    )
 
-                enc, inner = stack_conformer_layers(
-                    enc, enc_state["encoder"]
-                )
-                enc_state = {"encoder": inner}
+                    enc, inner = stack_conformer_layers(
+                        enc, enc_state["encoder"]
+                    )
+                    enc_state = {"encoder": inner}
+                else:
+                    from wav2vec2forbrain_tpu.models.wav2vec2 import (
+                        stack_w2v_layers,
+                    )
+
+                    enc = stack_w2v_layers(enc)
             params["w2v"] = {
                 "encoder": enc,
                 "lm_head": jax.tree_util.tree_map(jnp.asarray, head),

@@ -155,6 +155,10 @@ def init_model_params(rng, spec: ModelSpec) -> Tuple[dict, dict]:
     if spec.encoder_family == "wav2vec2":
         cfg = spec.w2v_cfg
         encoder = init_w2v_encoder_params(k_enc, cfg)
+        if spec.scan_layers:
+            from wav2vec2forbrain_tpu.models.wav2vec2 import stack_w2v_layers
+
+            encoder = stack_w2v_layers(encoder)
         head = init_lm_head_params(k_head, cfg)
         state = {"encoder": {}}
     else:
@@ -243,9 +247,20 @@ def forward(
     latents = apply_fc(params["brain"]["fc"], h, spec.fc_activation, cd)
 
     if spec.encoder_family == "wav2vec2":
-        hidden = apply_w2v_encoder(
-            params["w2v"]["encoder"], latents, spec.w2v_cfg, enc_rng, train, cd
-        )
+        if "layers_stacked" in params["w2v"]["encoder"]:
+            from wav2vec2forbrain_tpu.models.wav2vec2 import (
+                apply_w2v_encoder_scanned,
+            )
+
+            hidden = apply_w2v_encoder_scanned(
+                params["w2v"]["encoder"], latents, spec.w2v_cfg, enc_rng,
+                train, cd,
+            )
+        else:
+            hidden = apply_w2v_encoder(
+                params["w2v"]["encoder"], latents, spec.w2v_cfg, enc_rng,
+                train, cd,
+            )
         new_state = state
         logits = apply_lm_head(
             params["w2v"]["lm_head"], hidden, spec.w2v_cfg, head_rng, train, cd

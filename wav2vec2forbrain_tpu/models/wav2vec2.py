@@ -302,6 +302,63 @@ def apply_w2v_encoder(
     return x
 
 
+def stack_w2v_layers(params: dict) -> dict:
+    """Per-layer lists -> stacked arrays (scan-over-layers; see conformer)."""
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *params["layers"]
+    )
+    new_p = {k: v for k, v in params.items() if k != "layers"}
+    new_p["layers_stacked"] = stacked
+    return new_p
+
+
+def unstack_w2v_layers(params: dict, num_layers: int) -> dict:
+    layers = [
+        jax.tree_util.tree_map(lambda a: a[i], params["layers_stacked"])
+        for i in range(num_layers)
+    ]
+    new_p = {k: v for k, v in params.items() if k != "layers_stacked"}
+    new_p["layers"] = layers
+    return new_p
+
+
+def apply_w2v_encoder_scanned(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2EncoderConfig,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """apply_w2v_encoder with the layer loop as one lax.scan (remat'd)."""
+    pos = pos_conv_embed(params["pos_conv"], x, cfg)
+    x = x + pos
+    if not cfg.do_stable_layer_norm:
+        x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+    rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
+
+    def layer_fn(p_layer, h, layer_rng):
+        h, _ = encoder_layer(p_layer, h, cfg, layer_rng, train, compute_dtype)
+        return h
+
+    layer_fn = jax.checkpoint(
+        layer_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    )
+
+    def body(carry, p_layer):
+        h, key = carry
+        layer_rng = None
+        if key is not None:
+            key, layer_rng = jax.random.split(key)
+        h = layer_fn(p_layer, h, layer_rng)
+        return (h, key), None
+
+    (x, _), _ = jax.lax.scan(body, (x, rng), params["layers_stacked"])
+    if cfg.do_stable_layer_norm:
+        x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+    return x
+
+
 def apply_lm_head(
     params: dict,
     hidden: jnp.ndarray,
