@@ -168,6 +168,30 @@ def test_periodic_train_state_resume(tmp_path, synthetic_splits_dir, tiny_encode
     assert len(hist["epochs"]) == 4
 
 
+def test_checkpoint_layout_interop(tmp_path, synthetic_splits_dir, tiny_encoders):
+    """Checkpoints transfer between scan-stacked and per-layer layouts."""
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    exp = impl.B2TGruAndW2VExperiment(
+        base_config(epochs=1, scan_layers=True), yaml_cfg
+    )
+    exp.run()
+    ckpt = os.path.join(exp.results_dir, "model.msgpack")
+
+    exp2 = impl.B2TGruAndW2VExperiment(
+        base_config(epochs=1, scan_layers=False, from_checkpoint=ckpt,
+                    only_test=True),
+        yaml_cfg,
+    )
+    # loss of the reloaded model in the other layout must match the stored
+    # model's test loss
+    exp2.run()
+    with open(os.path.join(exp.results_dir, "history.json")) as f:
+        loss_a = json.load(f)["test"]["average"]["loss"]
+    with open(os.path.join(exp2.results_dir, "test_predictions.json")) as f:
+        loss_b = json.load(f)["average"]["loss"]
+    np.testing.assert_allclose(loss_b, loss_a, rtol=1e-4)
+
+
 def test_only_test_predictions(tmp_path, synthetic_splits_dir, tiny_encoders):
     yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
     exp = impl.B2TGruAndW2VExperiment(

@@ -404,11 +404,71 @@ class B2TGruW2VExperimentBase:
             jax.device_get(self.trainable), jax.device_get(self.frozen)
         )
 
+    def _normalize_encoder_layout(self, params: dict, state: dict, template: dict):
+        """Convert a checkpoint between per-layer-list and scan-stacked
+        encoder layouts to match the current --scan_layers setting."""
+        enc_t = template["w2v"]["encoder"]
+        enc_l = params.get("w2v", {}).get("encoder", {})
+        want_stacked = "layers_stacked" in enc_t
+        have_stacked = "layers_stacked" in enc_l
+        if want_stacked == have_stacked:
+            return params, state
+        import numpy as _np
+
+        def destr(d):
+            # msgpack state dicts index lists as {"0": ..., "1": ...}
+            if isinstance(d, dict) and d and all(k.isdigit() for k in d):
+                return [destr(d[str(i)]) for i in range(len(d))]
+            if isinstance(d, dict):
+                return {k: destr(v) for k, v in d.items()}
+            return d
+
+        enc_l = destr(enc_l)
+        st_l = destr(state) if state else state
+        if self.ENCODER_FAMILY == "conformer":
+            from wav2vec2forbrain_tpu.models.conformer import (
+                stack_conformer_layers,
+                unstack_conformer_layers,
+            )
+
+            n = self.spec.conformer_cfg.num_hidden_layers
+            if want_stacked:
+                enc_l, inner = stack_conformer_layers(
+                    enc_l, st_l["encoder"]
+                )
+                st_l = {"encoder": inner}
+            else:
+                enc_l, inner = unstack_conformer_layers(
+                    enc_l, st_l["encoder"], n
+                )
+                st_l = {"encoder": inner}
+        else:
+            from wav2vec2forbrain_tpu.models.wav2vec2 import (
+                stack_w2v_layers,
+                unstack_w2v_layers,
+            )
+
+            n = self.spec.w2v_cfg.num_hidden_layers
+            enc_l = (
+                stack_w2v_layers(enc_l)
+                if want_stacked
+                else unstack_w2v_layers(enc_l, n)
+            )
+        params = dict(params)
+        params["w2v"] = dict(params["w2v"])
+        params["w2v"]["encoder"] = enc_l
+        return params, st_l
+
     def _load_full_checkpoint(self, path: str):
         from flax import serialization
 
         params, state = load_checkpoint(path)
         template = self._merged_params()
+        params, state = self._normalize_encoder_layout(params, state, template)
+        # normalization may introduce real python lists; from_state_dict
+        # expects the {"0": ...} indexed form
+        params = serialization.to_state_dict(params)
+        state = serialization.to_state_dict(state)
         params = serialization.from_state_dict(template, params)
         trainable, frozen = partition_params(params, self.labels)
         self.trainable = self.shard_params(trainable)
