@@ -57,6 +57,9 @@ def base_config(**overrides) -> dict:
         encoder_num_gru_layers=1,
         seed=0,
         use_wandb=False,
+        # bound jit shapes: one (T, U) bucket for the synthetic data
+        pad_to_multiple=256,
+        target_pad_to_multiple=32,
     )
     cfg.update(overrides)
     return cfg
