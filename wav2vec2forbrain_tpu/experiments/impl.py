@@ -530,9 +530,26 @@ class B2TGruW2VExperimentBase:
                         trainer._get_wandb_metrics(test_results, "test")
                     )
                     self.process_test_results(test_results)
+            if self.base_config.log_results_as_artifact:
+                self._log_results_artifact()
             print(f"Done. Saved results to {self.results_dir}")
         finally:
             self.logger.finish()
+
+    def _log_results_artifact(self):
+        """W&B results artifact (ref: experiment.py:131-134); no-op without
+        an active wandb run."""
+        try:
+            import wandb
+
+            if wandb.run is not None:
+                artifact = wandb.Artifact(
+                    name="results", type="experiment_results"
+                )
+                artifact.add_dir(f"{self.results_dir}/")
+                wandb.run.log_artifact(artifact)
+        except ImportError:
+            print("log_results_as_artifact: wandb not installed, skipping")
 
     def plot_results(self, history: TrainHistory):
         history.plot(
@@ -617,6 +634,10 @@ class B2TGruW2VExperimentBase:
         )
         axs = np.atleast_1d(_axs)
         norm = Normalize(vmin=0, vmax=1)
+        pred_strs, label_strs = self.decode_predictions(
+            np.argmax(probs, axis=-1),
+            np.asarray(batch.target) if batch.target is not None else None,
+        )
         for sample_index in range(nrows):
             ax = axs[sample_index]
             ax.imshow(
@@ -629,6 +650,10 @@ class B2TGruW2VExperimentBase:
             ax.set_yticks(range(vocab_size))
             ax.set_yticklabels(vocab, fontsize=5)
             ax.set_xlabel("frame")
+            title = f"pred: {pred_strs[sample_index]!r}"
+            if label_strs is not None:
+                title += f"  target: {label_strs[sample_index]!r}"
+            ax.set_title(title, fontsize=7)
         plt.tight_layout()
         plt.savefig(out_path)
         plt.close(fig)
