@@ -175,13 +175,42 @@ struct NGramLM {
 
 // ----------------------------------------------------------- beam search --
 
+// Prefix arena: beams reference interned character chains instead of owning
+// strings, so a beam is a small POD and the per-frame expansion loop does no
+// heap traffic. Node 0 is the empty prefix.
+struct PrefixArena {
+  struct Node {
+    int32_t parent;
+    char ch;
+  };
+  std::vector<Node> nodes{{-1, '\0'}};
+
+  int32_t extend(int32_t node, char ch) {
+    nodes.push_back({node, ch});
+    return static_cast<int32_t>(nodes.size() - 1);
+  }
+
+  std::string materialize(int32_t node) const {
+    std::string out;
+    while (node > 0) {
+      out.push_back(nodes[node].ch);
+      node = nodes[node].parent;
+    }
+    std::reverse(out.begin(), out.end());
+    return out;
+  }
+};
+
+constexpr int kMaxCtx = 8;  // supports up to 9-gram LMs
+
 struct Beam {
-  std::string text;        // completed words (space-joined)
-  std::string partial;     // in-progress word
+  int32_t text = 0;        // arena id: completed words (space-joined)
+  int32_t partial = 0;     // arena id: in-progress word
   int last_char = -1;      // last emitted vocab idx (-1 after blank)
   float p_ac = 0.f;        // acoustic log-prob (ln)
   double p_lm = 0.0;       // LM score (ln, already alpha/beta weighted)
-  std::vector<int> context;  // LM word-id context of completed words
+  int32_t context[kMaxCtx];  // LM word-id context of completed words
+  uint8_t ctx_len = 0;
   double score() const { return p_ac + p_lm; }
 };
 
@@ -201,32 +230,59 @@ inline float logsumexp2(float a, float b) {
   return a + std::log1p(std::exp(b - a));
 }
 
-void complete_word(const Decoder& d, Beam& b, bool is_last) {
-  if (b.partial.empty()) return;
+void complete_word(const Decoder& d, PrefixArena& arena, Beam& b,
+                   bool is_last) {
+  if (b.partial == 0) return;
   if (d.lm) {
-    float lg = d.lm->score_word(b.context, d.lm->word_id(b.partial));
+    std::vector<int> ctx(b.context, b.context + b.ctx_len);
+    int wid = d.lm->word_id(arena.materialize(b.partial));
+    float lg = d.lm->score_word(ctx, wid);
     b.p_lm += d.alpha * kLn10 * lg + d.beta;
-    b.context.push_back(d.lm->word_id(b.partial));
     // keep context bounded to order-1 words
-    size_t maxc = static_cast<size_t>(std::max(d.lm->order - 1, 1));
-    if (b.context.size() > maxc)
-      b.context.erase(b.context.begin(), b.context.end() - maxc);
+    int maxc = std::min(std::max(d.lm->order - 1, 1), kMaxCtx);
+    if (b.ctx_len < maxc) {
+      b.context[b.ctx_len++] = wid;
+    } else {
+      for (int i = 1; i < maxc; ++i) b.context[i - 1] = b.context[i];
+      b.context[maxc - 1] = wid;
+      b.ctx_len = static_cast<uint8_t>(maxc);
+    }
     if (is_last && d.score_boundary && d.lm->eos_id >= 0) {
-      b.p_lm += d.alpha * kLn10 * d.lm->score_word(b.context, d.lm->eos_id);
+      std::vector<int> ctx2(b.context, b.context + b.ctx_len);
+      b.p_lm += d.alpha * kLn10 * d.lm->score_word(ctx2, d.lm->eos_id);
     }
   }
-  if (!b.text.empty()) b.text.push_back(' ');
-  b.text += b.partial;
-  b.partial.clear();
+  // splice partial chain onto text (with separating space if needed)
+  std::string word = arena.materialize(b.partial);
+  if (b.text != 0) b.text = arena.extend(b.text, ' ');
+  for (char c : word) b.text = arena.extend(b.text, c);
+  b.partial = 0;
 }
 
 std::string decode_one(const Decoder& d, const float* logp, int T, int V,
                        int beam_width, float prune_logp, float token_min_logp) {
+  PrefixArena arena;
+  // per-char extension cache: (partial_node, char idx) -> new node, so the
+  // arena stays compact when many beams extend the same prefix
+  std::unordered_map<uint64_t, int32_t> extend_cache;
+  auto extend_cached = [&](int32_t node, int v) {
+    uint64_t key = (static_cast<uint64_t>(node) << 16) | static_cast<uint32_t>(v);
+    auto it = extend_cache.find(key);
+    if (it != extend_cache.end()) return it->second;
+    int32_t nn = node;
+    for (char c : d.vocab[v]) nn = arena.extend(nn, c);
+    extend_cache.emplace(key, nn);
+    return nn;
+  };
+
   std::vector<Beam> beams(1);
-  if (d.lm && d.score_boundary && d.lm->bos_id >= 0)
-    beams[0].context.push_back(d.lm->bos_id);
+  if (d.lm && d.score_boundary && d.lm->bos_id >= 0) {
+    beams[0].context[0] = d.lm->bos_id;
+    beams[0].ctx_len = 1;
+  }
 
   std::vector<Beam> next;
+  std::unordered_map<uint64_t, size_t> merged;
   for (int t = 0; t < T; ++t) {
     const float* row = logp + static_cast<size_t>(t) * V;
     int max_idx = 0;
@@ -234,55 +290,43 @@ std::string decode_one(const Decoder& d, const float* logp, int T, int V,
       if (row[v] > row[max_idx]) max_idx = v;
 
     next.clear();
+    next.reserve(beams.size() * 8);
     for (int v = 0; v < V; ++v) {
       float p = row[v];
       if (v != max_idx && p < token_min_logp) continue;
       for (const Beam& b : beams) {
+        Beam nb = b;  // POD copy
+        nb.p_ac += p;
         if (v == d.blank_id) {
-          Beam nb = b;
           nb.last_char = -1;
-          nb.p_ac += p;
-          next.push_back(std::move(nb));
         } else if (v == b.last_char) {
           // repeat frame: same emission, no new char
-          Beam nb = b;
-          nb.p_ac += p;
-          next.push_back(std::move(nb));
         } else if (d.special[v]) {
-          // special tokens (<s>, </s>, <unk>) are consumed but emit nothing
-          Beam nb = b;
+          // special tokens (<s>, </s>, <unk>) consumed, emit nothing
           nb.last_char = v;
-          nb.p_ac += p;
-          next.push_back(std::move(nb));
         } else if (v == d.delim_id) {
-          Beam nb = b;
-          complete_word(d, nb, /*is_last=*/false);
+          complete_word(d, arena, nb, /*is_last=*/false);
           nb.last_char = v;
-          nb.p_ac += p;
-          next.push_back(std::move(nb));
         } else {
-          Beam nb = b;
-          nb.partial += d.vocab[v];
+          nb.partial = extend_cached(b.partial, v);
           nb.last_char = v;
-          nb.p_ac += p;
-          next.push_back(std::move(nb));
         }
+        next.push_back(nb);
       }
     }
     // merge beams with identical (text, partial, last_char)
-    std::unordered_map<std::string, size_t> merged;
+    merged.clear();
     std::vector<Beam> uniq;
     uniq.reserve(next.size());
     for (Beam& b : next) {
-      std::string k = b.text;
-      k.push_back('\x01');
-      k += b.partial;
-      k.push_back('\x01');
-      k += std::to_string(b.last_char);
+      // exact key: arena node ids are < 2^31 in practice but pack defensively
+      uint64_t k = (static_cast<uint64_t>(static_cast<uint32_t>(b.text)) << 32) |
+                   (static_cast<uint64_t>(static_cast<uint32_t>(b.partial) & 0xFFFFFF) << 8) |
+                   static_cast<uint64_t>(static_cast<uint8_t>(b.last_char + 1));
       auto it = merged.find(k);
       if (it == merged.end()) {
-        merged.emplace(std::move(k), uniq.size());
-        uniq.push_back(std::move(b));
+        merged.emplace(k, uniq.size());
+        uniq.push_back(b);
       } else {
         uniq[it->second].p_ac = logsumexp2(uniq[it->second].p_ac, b.p_ac);
       }
@@ -300,12 +344,12 @@ std::string decode_one(const Decoder& d, const float* logp, int T, int V,
   }
   if (beams.empty()) return "";
   // finalize: score trailing partial words, re-rank
-  for (Beam& b : beams) complete_word(d, b, /*is_last=*/true);
+  for (Beam& b : beams) complete_word(d, arena, b, /*is_last=*/true);
   auto bestit =
       std::max_element(beams.begin(), beams.end(), [](const Beam& a, const Beam& b) {
         return a.score() < b.score();
       });
-  return bestit->text;
+  return arena.materialize(bestit->text);
 }
 
 }  // namespace
