@@ -15,7 +15,7 @@ DataLoader).
 import os
 import re
 from pathlib import Path
-from typing import Callable, List, Literal, Optional
+from typing import Callable, List, Literal
 
 import numpy as np
 from scipy.io import loadmat

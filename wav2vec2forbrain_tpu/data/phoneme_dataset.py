@@ -5,7 +5,7 @@ instead of character tokens. Used by the phoneme analysis/aux experiments;
 the two registered experiment types use the character dataset.
 """
 
-from typing import Callable, List, Literal, Optional
+from typing import Callable, List, Literal
 
 import numpy as np
 

@@ -22,7 +22,7 @@ import os
 import random
 import sys
 from datetime import datetime
-from typing import Literal, Optional
+from typing import Literal
 
 import jax
 import jax.numpy as jnp
@@ -39,16 +39,13 @@ from wav2vec2forbrain_tpu.experiments.args_models import (
 )
 from wav2vec2forbrain_tpu.models.assembly import (
     ModelSpec,
-    forward_with_loss,
     init_model_params,
     param_labels,
 )
-from wav2vec2forbrain_tpu.models.conformer import ConformerEncoderConfig
 from wav2vec2forbrain_tpu.models.pretrained import (
     encoder_config_for_checkpoint,
     load_pretrained_encoder,
 )
-from wav2vec2forbrain_tpu.models.wav2vec2 import Wav2Vec2EncoderConfig
 from wav2vec2forbrain_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -413,8 +410,6 @@ class B2TGruW2VExperimentBase:
         have_stacked = "layers_stacked" in enc_l
         if want_stacked == have_stacked:
             return params, state
-        import numpy as _np
-
         def destr(d):
             # msgpack state dicts index lists as {"0": ..., "1": ...}
             if isinstance(d, dict) and d and all(k.isdigit() for k in d):

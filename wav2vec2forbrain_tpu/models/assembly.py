@@ -20,8 +20,8 @@ The brain/w2v split mirrors the reference's two optimizer param groups
 "brain_encoder" the whole `w2v` subtree (incl. lm_head) is frozen.
 """
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,8 @@ Supports both HF norm variants:
 - "layer": layer-norm after every conv (large/lv60 checkpoints)
 """
 
-from dataclasses import dataclass, field
-from typing import List, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ are kept large and bf16-castable for the MXU.
 """
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

@@ -18,7 +18,6 @@ Gate math matches torch (r, z, n ordering; see models/gru.py):
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

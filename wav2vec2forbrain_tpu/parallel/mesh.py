@@ -15,10 +15,8 @@ psum/all_gather on the right axis.
 """
 
 import re
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

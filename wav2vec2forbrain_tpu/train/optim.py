@@ -20,7 +20,7 @@ afterwards by `scale_updates_by_lr`. This keeps the opt_state static across
 epochs while the host drives the exact per-epoch LR schedule.
 """
 
-from typing import Callable, Dict, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

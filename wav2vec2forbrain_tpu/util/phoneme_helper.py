@@ -11,7 +11,7 @@ pipeline is runnable/testable in hermetic environments).
 """
 
 import re
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 PHONE_DEF = [
     "AA", "AE", "AH", "AO", "AW", "AY", "B", "CH", "D", "DH",
