@@ -66,6 +66,37 @@ def test_brain_converter_round_trip():
     np.testing.assert_allclose(j_lat, t_lat.numpy(), atol=1e-5)
 
 
+def test_full_model_from_torch():
+    """Full reference model.pt layout (brain_encoder.* + w2v_encoder.*)."""
+    from transformers import Wav2Vec2Config
+    from transformers.models.wav2vec2.modeling_wav2vec2 import Wav2Vec2Encoder
+
+    from wav2vec2forbrain_tpu.models.convert import full_model_from_torch
+
+    sd_brain, _, _ = make_reference_state_dict()
+    sd = {f"brain_encoder.{k}": v for k, v in sd_brain.items()}
+    hf_cfg = Wav2Vec2Config(
+        hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, vocab_size=32,
+    )
+    torch.manual_seed(0)
+    enc = Wav2Vec2Encoder(hf_cfg)
+    for k, v in enc.state_dict().items():
+        sd[f"w2v_encoder.wav2vec2.encoder.{k}"] = v
+    head = torch.nn.Linear(48, 32)
+    sd["w2v_encoder.lm_head.weight"] = head.weight.data
+    sd["w2v_encoder.lm_head.bias"] = head.bias.data
+
+    params, state = full_model_from_torch(
+        state_dict_to_numpy(sd), "wav2vec2", hf_cfg.num_hidden_layers
+    )
+    assert set(params.keys()) == {"brain", "w2v"}
+    assert len(params["w2v"]["encoder"]["layers"]) == 2
+    assert params["w2v"]["lm_head"]["kernel"].shape == (48, 32)
+    assert state == {"encoder": {}}
+
+
 def test_converter_cli_brain(tmp_path):
     sd, _, _ = make_reference_state_dict()
     pt = tmp_path / "brain_encoder.pt"

@@ -296,3 +296,36 @@ def brain_encoder_from_torch(sd: Dict[str, np.ndarray]) -> dict:
         "gru": gru,
         "fc": fc,
     }
+
+
+def full_model_from_torch(
+    sd: Dict[str, np.ndarray], encoder_family: str, num_layers: int
+):
+    """Convert a reference full-model state dict (W2VBrainEncoderModel /
+    W2VConformerBrainEncoderModel, ref: w2v_custom_feat_extractor.py:22-63 and
+    w2v_conformer_custom_feat_extractor.py:16-59) into (params, state).
+
+    Key layout: brain_encoder.* (B2P2TModel), w2v_encoder.{wav2vec2|
+    wav2vec2_conformer}.encoder.*, w2v_encoder.lm_head.*.
+    """
+    brain_sd = {
+        k[len("brain_encoder."):]: v
+        for k, v in sd.items()
+        if k.startswith("brain_encoder.")
+    }
+    brain = brain_encoder_from_torch(brain_sd)
+    if encoder_family == "conformer":
+        enc_prefix = "w2v_encoder.wav2vec2_conformer.encoder"
+        encoder = conformer_encoder_from_torch(sd, enc_prefix, num_layers)
+        state = {
+            "encoder": conformer_batch_norm_state_from_torch(
+                sd, enc_prefix, num_layers
+            )
+        }
+    else:
+        enc_prefix = "w2v_encoder.wav2vec2.encoder"
+        encoder = w2v_encoder_from_torch(sd, enc_prefix, num_layers)
+        state = {"encoder": {}}
+    head = linear_from_torch(sd, "w2v_encoder.lm_head")
+    params = {"brain": brain, "w2v": {"encoder": encoder, "lm_head": head}}
+    return params, state

@@ -161,6 +161,17 @@ def _bigru_layer_fused(
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 
+def _pallas_gru_vmem_bytes(b: int, h: int) -> int:
+    """Peak VMEM of the Pallas GRU backward kernel (w + dw blocks resident,
+    double-buffered gi/dgi/hprev/g streams)."""
+    h3 = 3 * h
+    weights = 2 * h * h3 * 4 * 2          # w_ref + dw_ref, both directions
+    streams = (2 * 2 * b * h3 * 4) * 2    # gi_buf + dgi_buf (2 slots each)
+    hstreams = (2 * 2 * b * h * 4) * 2    # hprev_buf + g_buf
+    carry = 2 * b * h * 4 * 2             # dh_ref + dh0
+    return weights + streams + hstreams + carry + (1 << 20)
+
+
 def apply_gru(
     params: dict,
     x: jnp.ndarray,
@@ -204,8 +215,13 @@ def apply_gru(
             else:
                 h0 = jnp.zeros((2, b, hidden_size), jnp.float32)
             # the Pallas recurrence needs lane-aligned gate slices
-            # (hidden_size % 128 == 0); otherwise fall back to the scan
-            if use_pallas and hidden_size % 128 == 0:
+            # (hidden_size % 128 == 0) and must fit its weight + stream
+            # buffers in VMEM; otherwise fall back to the scan
+            if (
+                use_pallas
+                and hidden_size % 128 == 0
+                and _pallas_gru_vmem_bytes(b, hidden_size) <= 14 * 2**20
+            ):
                 from wav2vec2forbrain_tpu.ops.pallas_gru import (
                     bigru_layer_pallas,
                 )
