@@ -86,6 +86,9 @@ class B2TGruAndW2VArgsModel(_GruW2VCommonArgs, W2VBrainEncoderModelArgs):
 
 class B2TGruAndW2VConformerArgsModel(_GruW2VCommonArgs):
     wav2vec_checkpoint: str = "facebook/wav2vec2-conformer-rope-large-960h-ft"
+    # TPU-native extension: the reference conformer CLI cannot random-init
+    # (its args model lacks this flag, b2t_gru_w2v_conformer_experiment.py:36-58);
+    # added here so the from-scratch setup also works with the conformer.
     w2v_skip_loading_weights: bool = Field(
         default=False,
         description="Skip loading weights from wav2vec checkpoint, only load architecture",
