@@ -354,10 +354,14 @@ class B2TGruW2VExperimentBase:
         cfg = self.base_config
         if not cfg.lm_decode_test_predictions:
             return None
+        # real n-gram models are GBs — build the decoder (and parse the ARPA)
+        # once, not per test evaluator
+        if hasattr(self, "_lm_decoder_cache"):
+            return self._lm_decoder_cache
         try:
             from wav2vec2forbrain_tpu.decode.lm_decode import make_lm_decoder
 
-            return make_lm_decoder(
+            self._lm_decoder_cache = make_lm_decoder(
                 vocab=self.tokenizer.get_vocab_list(),
                 lm_path=self.yaml_config.n3gram_lm_model_path,
                 beam_width=cfg.lm_decode_beam_width,
@@ -369,7 +373,8 @@ class B2TGruW2VExperimentBase:
             )
         except Exception as e:
             print(f"WARNING: LM decoder unavailable ({e}); greedy decode only")
-            return None
+            self._lm_decoder_cache = None
+        return self._lm_decoder_cache
 
     def create_evaluator(
         self,
