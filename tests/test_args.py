@@ -70,3 +70,27 @@ def test_experiment_args_models():
     assert m.w2v_warmup_steps == 7
     assert m.wav2vec_checkpoint == "facebook/wav2vec2-base-960h"
     assert m.lm_decode_beam_width == 100
+
+
+def test_help_strings_are_original_prose():
+    """Flag names/defaults are the parity surface; help text must be our own.
+    No Field description may appear verbatim in any reference source file."""
+    import pathlib
+    import re
+
+    ref_root = pathlib.Path("/root/reference")
+    if not ref_root.exists():
+        import pytest
+
+        pytest.skip("reference tree not mounted")
+    ref = "".join(
+        p.read_text(errors="ignore") for p in ref_root.rglob("*.py")
+    )
+    for rel in [
+        "wav2vec2forbrain_tpu/args/base_args.py",
+        "wav2vec2forbrain_tpu/experiments/args_models.py",
+    ]:
+        src = (pathlib.Path(__file__).parents[1] / rel).read_text()
+        for m in re.finditer(r'description=\(?\s*((?:"[^"]*"\s*)+)', src):
+            text = "".join(re.findall(r'"([^"]*)"', m.group(1)))
+            assert not (len(text) > 12 and text in ref), (rel, text)

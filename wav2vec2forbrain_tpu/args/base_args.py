@@ -37,7 +37,7 @@ class B2TDatasetArgsModel(BaseModel):
     preprocessing: PreprocessingName = "seperate_zscoring"
     competition_mode: bool = False
     limit_samples: Optional[int] = Field(
-        default=None, description="Limit number of samples"
+        default=None, description="Cap the dataset at this many samples (debug/overfit runs)"
     )
     sample_rate: int = 50
     remove_punctuation: bool = True
@@ -52,7 +52,7 @@ class BaseExperimentArgsModel(BaseModel):
     only the two registered experiment types run.
     """
 
-    batch_size: int = Field(16, description="Batch size for training and validation")
+    batch_size: int = Field(16, description="Samples per step, shared by the train and val loaders")
     epochs: int = 10
     learning_rate: float = 0.001
     optimizer: Literal["adam", "sgd"] = "adam"
@@ -100,21 +100,21 @@ class BaseExperimentArgsModel(BaseModel):
     best_model_metric: str = Field(
         "loss",
         description=(
-            'The metric by which to measure the models performance. Can be "loss" '
-            "for using the applied loss or any metric that is returned by the model"
+            'Metric that selects the best checkpoint: "loss" (the training '
+            "loss function) or the name of any metric the model reports"
         ),
     )
     minimize_best_model_metric: bool = Field(
         True,
-        description="Specify if best_model_metric should be minimized or maximized",
+        description="True when a smaller best_model_metric is better; false to maximize",
     )
     use_wandb: bool = False
     from_checkpoint: Optional[str] = Field(
-        None, description="(optional) Path to model checkpoint"
+        None, description="Start from the weights in this checkpoint file (optional)"
     )
-    only_test: bool = Field(False, description="Only run test, skip training")
+    only_test: bool = Field(False, description="Evaluate the test split directly without any training")
     predict_on_train: bool = Field(
-        False, description="Run prediction on train set after model training"
+        False, description="Additionally dump predictions for the train split once training ends"
     )
     gradient_clipping: Optional[float] = None
     weight_decay: float = 0.0
@@ -129,20 +129,20 @@ class BaseExperimentArgsModel(BaseModel):
     early_stopping_patience: Optional[int] = Field(
         None,
         description=(
-            "Number of epochs n to consider for early stopping. Once all n-1 last "
-            "epochs did not improve compared to the -nth epoch, training is stopped. "
-            "If None, early stopping is disabled"
+            "Early-stopping window size n: stop when none of the most recent "
+            "n-1 epochs beat the val metric from n epochs ago. Disabled when "
+            "unset"
         ),
     )
     early_stopping_delta: float = Field(
         0.0001,
         description=(
-            "Minimum delta of to be optimized metric that is considered as an "
-            "improvement for early stopping"
+            "Val-metric change below this threshold does not count as an "
+            "improvement for the early-stopping window"
         ),
     )
     train_on_val_once: bool = Field(
-        False, description="Train once on val after normal training"
+        False, description="Do one extra training pass over the val split after the epoch loop"
     )
     log_results_as_artifact: bool = False
     results_subdir_name: Optional[str] = None

@@ -41,24 +41,24 @@ class _GruW2VCommonArgs(B2TArgsModel, B2P2TBrainFeatureExtractorArgsModel):
     w2v_warmup_start_step: Optional[int] = Field(
         default=None,
         description=(
-            "Epoch at which warm up phase of w2v lr starts. Before LR will be 0. "
-            "0 if not provided"
+            "Epoch index where the w2v group's lr warmup begins (lr is held "
+            "at 0 until then; treated as 0 when unset)"
         ),
     )
     w2v_warmup_steps: Optional[int] = Field(
         default=None,
         description=(
-            "Num epochs from w2v_warmup_start_step to reach full "
-            "w2v_learning_rate. 0 if not provided"
+            "How many epochs the w2v lr takes to ramp linearly from 0 to "
+            "w2v_learning_rate after the warmup start (0 when unset)"
         ),
     )
     lm_decode_test_predictions: bool = False
     adjust_global_lr_to_w2v_postwarmup_lr: Optional[bool] = Field(
         default=None,
         description=(
-            "Adjust the global learning rate to that of w2v over w2v warmup "
-            "interval, then keep at w2v_learning_rate. Only valid when "
-            "brain_encoder+w2v unfreeze strategy is set."
+            "Anneal the brain-encoder group's lr toward w2v_learning_rate "
+            "across the warmup window and hold it there afterwards; requires "
+            "unfreeze_strategy=brain_encoder+w2v"
         ),
     )
     lm_decode_beam_width: int = DEFAULT_BEAM_WIDTH
@@ -73,13 +73,13 @@ class B2TGruAndW2VArgsModel(_GruW2VCommonArgs, W2VBrainEncoderModelArgs):
     wav2vec_checkpoint: str = "facebook/wav2vec2-base-960h"
     w2v_skip_loading_weights: bool = Field(
         default=False,
-        description="Skip loading weights from wav2vec checkpoint, only load architecture",
+        description="Random-init the encoder (architecture only, no pretrained weights)",
     )
     store_brain_encoder: bool = Field(
         default=False,
         description=(
-            "Store brain encoder model seperate from whole model in results "
-            "directory"
+            "Also write the brain-encoder subtree as its own artifact in the "
+            "results directory"
         ),
     )
 
@@ -91,5 +91,5 @@ class B2TGruAndW2VConformerArgsModel(_GruW2VCommonArgs):
     # added here so the from-scratch setup also works with the conformer.
     w2v_skip_loading_weights: bool = Field(
         default=False,
-        description="Skip loading weights from wav2vec checkpoint, only load architecture",
+        description="Random-init the encoder (architecture only, no pretrained weights)",
     )
