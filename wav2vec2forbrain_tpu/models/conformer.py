@@ -362,18 +362,28 @@ def apply_conformer_encoder(
     train: bool = False,
     compute_dtype=None,
 ) -> Tuple[jnp.ndarray, dict]:
-    """Full encoder. Returns (hidden (B,T,H), new_state).
+    """Full encoder. Returns (hidden (B,T,H), new_state). Train-mode
+    LayerDrop matches torch semantics (wav2vec2.layerdrop_mask); a dropped
+    layer leaves both the hidden states AND its batch-norm running stats
+    untouched, like an HF skip."""
+    from wav2vec2forbrain_tpu.models.wav2vec2 import layerdrop_mask
 
-    LayerDrop intentionally not applied (see wav2vec2.py rationale).
-    """
     rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
     head = cfg.hidden_size // cfg.num_attention_heads
     cos, sin = rotary_cos_sin(x.shape[1], head, cfg.rotary_embedding_base)
+    drop, rng = layerdrop_mask(rng, len(params["layers"]), cfg.layerdrop, train)
     new_layer_states = []
-    for p_layer, s_layer in zip(params["layers"], state["layers"]):
-        x, new_s, rng = conformer_layer(
+    for i, (p_layer, s_layer) in enumerate(zip(params["layers"], state["layers"])):
+        y, new_s, rng = conformer_layer(
             p_layer, s_layer, x, cfg, cos, sin, rng, train, compute_dtype
         )
+        if drop is None:
+            x = y
+        else:
+            x = jnp.where(drop[i], x, y)
+            new_s = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(drop[i], old, new), new_s, s_layer
+            )
         new_layer_states.append(new_s)
     x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
     return x, {"layers": new_layer_states}
@@ -425,9 +435,13 @@ def apply_conformer_encoder_scanned(
     compute_dtype=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """apply_conformer_encoder with the layer loop as one lax.scan."""
+    from wav2vec2forbrain_tpu.models.wav2vec2 import layerdrop_mask
+
     rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
     head = cfg.hidden_size // cfg.num_attention_heads
     cos, sin = rotary_cos_sin(x.shape[1], head, cfg.rotary_embedding_base)
+    num_layers = jax.tree_util.tree_leaves(params["layers_stacked"])[0].shape[0]
+    drop, rng = layerdrop_mask(rng, num_layers, cfg.layerdrop, train)
 
     # remat the layer body: under scan XLA cannot rematerialize across
     # iterations on its own and training OOMs HBM; saving only the matmul
@@ -443,17 +457,22 @@ def apply_conformer_encoder_scanned(
 
     def body(carry, layer_in):
         h, key = carry
-        p_layer, s_layer = layer_in
+        p_layer, s_layer, d = layer_in
         layer_rng = None
         if key is not None:
             key, layer_rng = jax.random.split(key)
-        h, new_s, _ = layer_fn(p_layer, s_layer, h, layer_rng)
-        return (h, key), new_s
+        h_new, new_s, _ = layer_fn(p_layer, s_layer, h, layer_rng)
+        if d is not None:  # LayerDrop: keep hidden AND BN stats on skip
+            h_new = jnp.where(d, h, h_new)
+            new_s = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(d, old, new), new_s, s_layer
+            )
+        return (h_new, key), new_s
 
     (x, _), new_states = jax.lax.scan(
         body,
         (x, rng),
-        (params["layers_stacked"], state["layers_stacked"]),
+        (params["layers_stacked"], state["layers_stacked"], drop),
     )
     x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
     return x, {"layers_stacked": new_states}

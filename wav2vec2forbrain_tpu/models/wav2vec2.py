@@ -158,6 +158,23 @@ def _dropout(rng, x: jnp.ndarray, rate: float, train: bool):
     return rng, jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+def layerdrop_mask(rng, num_layers: int, layerdrop: float, train: bool):
+    """HF LayerDrop decisions (arXiv 1909.11556): in train mode layer i is
+    skipped when u_i ~ U[0,1) < layerdrop — the semantics HF applies inside
+    the encoders the reference fine-tunes through
+    (ref: src/model/w2v_custom_feat_extractor.py:167-191 wraps
+    Wav2Vec2Encoder, which rolls a per-layer rand each step).
+
+    Returns (mask (L,) bool with True = skip, rng) or (None, rng) when
+    inactive. Under jit the skipped layer is still COMPUTED; its contribution
+    is where-masked out, keeping shapes and control flow static (XLA-friendly
+    — a dropped layer costs its FLOPs but no recompile/divergence)."""
+    if not train or layerdrop <= 0.0 or rng is None:
+        return None, rng
+    rng, sub = jax.random.split(rng)
+    return jax.random.uniform(sub, (num_layers,)) < layerdrop, rng
+
+
 def pos_conv_embed(p: dict, x: jnp.ndarray, cfg: Wav2Vec2EncoderConfig) -> jnp.ndarray:
     """Grouped weight-normed conv positional embedding. x: (B, T, H)."""
     g = p["weight_g"]  # (1, 1, k)
@@ -284,19 +301,17 @@ def apply_w2v_encoder(
     train: bool = False,
     compute_dtype=None,
 ) -> jnp.ndarray:
-    """Full encoder. x: (B, T, H) -> (B, T, H).
-
-    LayerDrop is intentionally not applied: dropping whole layers is hostile
-    to a single traced program (data-dependent control flow) and the
-    reference's fine-tune configs don't rely on it. Divergence documented.
-    """
+    """Full encoder. x: (B, T, H) -> (B, T, H). Train-mode LayerDrop matches
+    torch semantics (see layerdrop_mask); eval never drops."""
     pos = pos_conv_embed(params["pos_conv"], x, cfg)
     x = x + pos
     if not cfg.do_stable_layer_norm:
         x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
     rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
-    for layer in params["layers"]:
-        x, rng = encoder_layer(layer, x, cfg, rng, train, compute_dtype)
+    drop, rng = layerdrop_mask(rng, len(params["layers"]), cfg.layerdrop, train)
+    for i, layer in enumerate(params["layers"]):
+        y, rng = encoder_layer(layer, x, cfg, rng, train, compute_dtype)
+        x = y if drop is None else jnp.where(drop[i], x, y)
     if cfg.do_stable_layer_norm:
         x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
     return x
@@ -336,6 +351,8 @@ def apply_w2v_encoder_scanned(
     if not cfg.do_stable_layer_norm:
         x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
     rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
+    num_layers = jax.tree_util.tree_leaves(params["layers_stacked"])[0].shape[0]
+    drop, rng = layerdrop_mask(rng, num_layers, cfg.layerdrop, train)
 
     def layer_fn(p_layer, h, layer_rng):
         h, _ = encoder_layer(p_layer, h, cfg, layer_rng, train, compute_dtype)
@@ -345,15 +362,17 @@ def apply_w2v_encoder_scanned(
         layer_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     )
 
-    def body(carry, p_layer):
+    def body(carry, xs):
         h, key = carry
+        p_layer, d = xs
         layer_rng = None
         if key is not None:
             key, layer_rng = jax.random.split(key)
-        h = layer_fn(p_layer, h, layer_rng)
+        h_new = layer_fn(p_layer, h, layer_rng)
+        h = h_new if d is None else jnp.where(d, h, h_new)
         return (h, key), None
 
-    (x, _), _ = jax.lax.scan(body, (x, rng), params["layers_stacked"])
+    (x, _), _ = jax.lax.scan(body, (x, rng), (params["layers_stacked"], drop))
     if cfg.do_stable_layer_norm:
         x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
     return x
