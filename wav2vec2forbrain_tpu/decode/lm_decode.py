@@ -57,7 +57,7 @@ def _get_lib():
         lib.ctc_decoder_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_double,
-            ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ]
         lib.ctc_decoder_destroy.argtypes = [ctypes.c_void_p]
         lib.ctc_decoder_lm_order.restype = ctypes.c_int
@@ -86,6 +86,7 @@ class CTCBeamDecoder:
         lm_path: Optional[str] = None,
         alpha: float = 0.5,
         beta: float = 0.5,
+        unk_score_offset: float = -10.0,
         score_boundary: bool = False,
     ):
         self._lib = _get_lib()
@@ -101,6 +102,7 @@ class CTCBeamDecoder:
             (lm_path or "").encode(),
             alpha,
             beta,
+            unk_score_offset,
             1 if score_boundary else 0,
             err,
             len(err),
@@ -170,6 +172,16 @@ def make_lm_decoder(
 
     Matches the 6 pyctcdecode knobs surfaced by the reference CLI
     (ref: b2t_gru_w2v_experiment.py:66-71).
+
+    RAW logits are fed to the beam search, exactly as the reference does
+    (ref: evaluator.py:191 passes model logits straight into
+    Wav2Vec2ProcessorWithLM.batch_decode, and pyctcdecode treats any input
+    whose rows don't sum to 1 as log-probs). The per-frame log-softmax shift
+    is constant across beams so rankings match; token_min_logp compares
+    against raw logit values, like the reference's effective behavior.
+    Unlike the reference we DO crop each sample at logit_lens instead of
+    decoding padded frames (our buckets pad further than the reference's
+    per-batch max; decoding pad garbage would diverge more, not less).
     """
     if lm_path is not None and not os.path.exists(lm_path):
         print(
@@ -186,7 +198,7 @@ def make_lm_decoder(
 
     def decode(logits: np.ndarray, logit_lens: np.ndarray) -> List[str]:
         return decoder.decode_batch(
-            log_softmax(logits),
+            logits,
             logit_lens,
             beam_width=beam_width,
             beam_prune_logp=beam_prune_logp,

@@ -5,23 +5,37 @@
 // Wav2Vec2ProcessorWithLM.batch_decode). The device produces log-probs; this
 // library consumes them on the host, overlapped with TPU eval.
 //
-// Semantics follow pyctcdecode's prefix beam search:
-//  - beams keyed by (text, partial_word, last_char_idx); duplicates merged
-//    by logsumexp of the acoustic score
-//  - blank (id 0) and repeated-char frames extend a beam without emitting
-//  - the word delimiter token completes a word and applies the LM:
-//      score += alpha * ln(10) * log10 P(w | context) + beta
-//  - token_min_logp: frames' tokens below this log-prob are skipped (the
+// Semantics follow pyctcdecode 0.5.0's prefix beam search (the version the
+// reference pins), re-derived from its published algorithm:
+//  - beams keyed by (text, partial_word, last_char); duplicates merged by
+//    logsumexp of the acoustic score
+//  - blank (id 0) and repeated-char frames extend a beam without emitting;
+//    blank resets last_char so the same char can re-emit
+//  - the word delimiter token moves the partial word into the text and
+//    applies the LM:  score += alpha * ln(10) * (log10 P(w | ctx)
+//    [+ unk_offset if w is not an LM unigram]) + beta
+//  - the per-frame RANKING score additionally includes the partial-word
+//    score: unk_offset * [partial is not a prefix of any LM unigram],
+//    scaled by len/6 when the partial exceeds 6 chars (pyctcdecode
+//    score_partial_token semantics; recomputed per frame, never accumulated)
+//  - cumulative LM scores are cached PER TEXT: once a text's score is
+//    cached it is never recomputed — including at end-of-sequence, where a
+//    text first formed mid-stream keeps its cache entry WITHOUT the </s>
+//    boundary score (a genuine pyctcdecode behavior, reproduced)
+//  - token_min_logp: tokens below this per-frame score are skipped (the
 //    frame argmax is always kept); beam_prune_logp: beams worse than
-//    best + prune are dropped; top beam_width beams survive per frame
-//  - score_boundary: LM context starts at <s> and the final word is scored
-//    with </s> following, like kenlm sentence scoring
-//  - n-gram backoff scoring of an ARPA text model (arbitrary order)
+//    best + prune are dropped, then the top beam_width survive
+//  - score_boundary: LM context starts at <s>; the trailing partial word is
+//    completed at EOS and scored with </s> following; a transcript that
+//    ends on a completed word gets no </s> score (pyctcdecode behavior)
+//  - n-gram Katz-backoff scoring of an ARPA text model (arbitrary order);
+//    stateless recompute over the last order-1 words == kenlm BaseScore
 //
-// Divergence vs pyctcdecode (documented): partial (in-progress) words carry
-// no LM score until completed; pyctcdecode scores partial tokens via a
-// unigram trie. At end of sequence the trailing partial word is completed
-// and scored.
+// Remaining divergences vs pyctcdecode (documented):
+//  - special tokens (<s>, </s>, <unk>) are consumed without emitting;
+//    pyctcdecode would append them to the partial word as literal chars
+//  - the unigram set for OOV checks comes from the ARPA 1-gram section
+//    (pyctcdecode takes an external unigrams list intersected with the LM)
 //
 // C ABI for ctypes; thread-parallel over the batch.
 
@@ -48,13 +62,26 @@ constexpr double kLn10 = 2.302585092994046;
 struct NGramLM {
   // key: space-joined word ids; value: (log10 prob, log10 backoff)
   struct Entry {
-    float logp;
-    float backoff;
+    double logp;
+    double backoff;
   };
   int order = 0;
   std::unordered_map<std::string, int> word_ids;
   std::vector<std::unordered_map<std::string, Entry>> tables;  // [n-1]
   int unk_id = -1, bos_id = -1, eos_id = -1;
+  // 1-gram vocabulary, sorted, for pyctcdecode-style OOV / prefix checks
+  std::vector<std::string> unigram_words;
+
+  bool is_unigram(const std::string& w) const {
+    return std::binary_search(unigram_words.begin(), unigram_words.end(), w);
+  }
+
+  // true iff some unigram starts with `p` (pygtrie has_node(p) != 0)
+  bool has_unigram_prefix(const std::string& p) const {
+    auto it =
+        std::lower_bound(unigram_words.begin(), unigram_words.end(), p);
+    return it != unigram_words.end() && it->compare(0, p.size(), p) == 0;
+  }
 
   int word_id(const std::string& w) const {
     auto it = word_ids.find(w);
@@ -72,14 +99,14 @@ struct NGramLM {
   }
 
   // log10 P(w | context) with standard Katz backoff.
-  float score_word(const std::vector<int>& context, int w) const {
+  double score_word(const std::vector<int>& context, int w) const {
     std::vector<int> ids(context);
     ids.push_back(w);
     size_t total = ids.size();
     size_t maxn = std::min<size_t>(total, order);
     size_t start = total - maxn;
     // try longest n-gram first, accumulate backoff on misses
-    float backoff_sum = 0.f;
+    double backoff_sum = 0.0;
     for (size_t s = start; s < total; ++s) {
       size_t n = total - s;
       const auto& table = tables[n - 1];
@@ -93,7 +120,7 @@ struct NGramLM {
         if (bit != ctx_table.end()) backoff_sum += bit->second.backoff;
       }
     }
-    return -7.f + backoff_sum;  // OOV floor (log10), pyctcdecode-style harsh
+    return -7.0 + backoff_sum;  // OOV floor (log10), pyctcdecode-style harsh
   }
 
   bool load_arpa(const std::string& path, std::string* err) {
@@ -146,7 +173,7 @@ struct NGramLM {
       if (current_n < 1) continue;
       // entry: logp \t w1 w2 ... wn [\t backoff]
       std::istringstream ss(line);
-      float logp;
+      double logp;
       if (!(ss >> logp)) continue;
       std::vector<int> ids;
       ids.reserve(current_n);
@@ -156,7 +183,10 @@ struct NGramLM {
         ids.push_back(intern(w));
       }
       if (static_cast<int>(ids.size()) != current_n) continue;
-      float backoff = 0.f;
+      if (current_n == 1 && w != "<s>" && w != "</s>" && w != "<unk>" &&
+          w != "<UNK>")
+        unigram_words.push_back(w);
+      double backoff = 0.0;
       ss >> backoff;  // optional
       tables[current_n - 1][key(ids, 0, ids.size())] = {logp, backoff};
     } while (std::getline(f, line));
@@ -169,6 +199,7 @@ struct NGramLM {
     if (unk_id < 0) unk_id = find_id("<UNK>");
     bos_id = find_id("<s>");
     eos_id = find_id("</s>");
+    std::sort(unigram_words.begin(), unigram_words.end());
     return true;
   }
 };
@@ -204,14 +235,20 @@ struct PrefixArena {
 constexpr int kMaxCtx = 8;  // supports up to 9-gram LMs
 
 struct Beam {
-  int32_t text = 0;        // arena id: completed words (space-joined)
-  int32_t partial = 0;     // arena id: in-progress word
-  int last_char = -1;      // last emitted vocab idx (-1 after blank)
-  float p_ac = 0.f;        // acoustic log-prob (ln)
-  double p_lm = 0.0;       // LM score (ln, already alpha/beta weighted)
-  int32_t context[kMaxCtx];  // LM word-id context of completed words
+  int32_t text = 0;     // arena id: completed words (space-joined)
+  int32_t partial = 0;  // arena id: in-progress word
+  int last_char = -1;   // last emitted vocab idx (-1 = "blank" sentinel)
+  double p_ac = 0.0;    // acoustic log score (logsumexp-merged, f64 like numpy)
+  double rank = 0.0;    // p_ac + cached text LM score + partial score
+};
+
+// Cumulative LM score for a completed-words text, cached per text node —
+// pyctcdecode keys its lm score cache by the text string; arena nodes are
+// hash-consed so node identity == string identity.
+struct LMEntry {
+  double score = 0.0;  // cumulative, ln-domain, alpha/beta applied
+  int32_t ctx[kMaxCtx];
   uint8_t ctx_len = 0;
-  double score() const { return p_ac + p_lm; }
 };
 
 struct Decoder {
@@ -221,68 +258,162 @@ struct Decoder {
   std::vector<bool> special;      // tokens like <s> </s> <unk>: never emitted
   std::unique_ptr<NGramLM> lm;
   double alpha = 0.5, beta = 0.5;
+  double unk_offset = -10.0;  // pyctcdecode DEFAULT_UNK_LOGP_OFFSET
   bool score_boundary = false;
 };
 
-inline float logsumexp2(float a, float b) {
+constexpr int kAvgTokenLen = 6;  // pyctcdecode AVG_TOKEN_LEN
+
+inline double logsumexp2(double a, double b) {
   if (a < b) std::swap(a, b);
   if (b <= kNegInf) return a;
   return a + std::log1p(std::exp(b - a));
 }
 
-void complete_word(const Decoder& d, PrefixArena& arena, Beam& b,
-                   bool is_last) {
-  if (b.partial == 0) return;
-  if (d.lm) {
-    std::vector<int> ctx(b.context, b.context + b.ctx_len);
-    int wid = d.lm->word_id(arena.materialize(b.partial));
-    float lg = d.lm->score_word(ctx, wid);
-    b.p_lm += d.alpha * kLn10 * lg + d.beta;
-    // keep context bounded to order-1 words
-    int maxc = std::min(std::max(d.lm->order - 1, 1), kMaxCtx);
-    if (b.ctx_len < maxc) {
-      b.context[b.ctx_len++] = wid;
-    } else {
-      for (int i = 1; i < maxc; ++i) b.context[i - 1] = b.context[i];
-      b.context[maxc - 1] = wid;
-      b.ctx_len = static_cast<uint8_t>(maxc);
-    }
-    if (is_last && d.score_boundary && d.lm->eos_id >= 0) {
-      std::vector<int> ctx2(b.context, b.context + b.ctx_len);
-      b.p_lm += d.alpha * kLn10 * d.lm->score_word(ctx2, d.lm->eos_id);
-    }
-  }
-  // splice partial chain onto text (with separating space if needed)
-  std::string word = arena.materialize(b.partial);
-  if (b.text != 0) b.text = arena.extend(b.text, ' ');
-  for (char c : word) b.text = arena.extend(b.text, c);
-  b.partial = 0;
-}
-
-std::string decode_one(const Decoder& d, const float* logp, int T, int V,
-                       int beam_width, float prune_logp, float token_min_logp) {
+// Per-sequence decode state: the prefix arena plus the LM/partial caches.
+struct DecodeState {
   PrefixArena arena;
-  // per-char extension cache: (partial_node, char idx) -> new node, so the
-  // arena stays compact when many beams extend the same prefix
   std::unordered_map<uint64_t, int32_t> extend_cache;
-  auto extend_cached = [&](int32_t node, int v) {
-    uint64_t key = (static_cast<uint64_t>(node) << 16) | static_cast<uint32_t>(v);
+  std::unordered_map<int32_t, LMEntry> lm_cache;       // text node -> score
+  std::unordered_map<int32_t, double> partial_cache;   // partial node -> score
+
+  int32_t extend_cached(const Decoder& d, int32_t node, int v) {
+    uint64_t key =
+        (static_cast<uint64_t>(node) << 16) | static_cast<uint32_t>(v);
     auto it = extend_cache.find(key);
     if (it != extend_cache.end()) return it->second;
     int32_t nn = node;
     for (char c : d.vocab[v]) nn = arena.extend(nn, c);
     extend_cache.emplace(key, nn);
     return nn;
-  };
-
-  std::vector<Beam> beams(1);
-  if (d.lm && d.score_boundary && d.lm->bos_id >= 0) {
-    beams[0].context[0] = d.lm->bos_id;
-    beams[0].ctx_len = 1;
   }
+
+  // splice a completed word onto a text node (hash-consed through the same
+  // extension cache so equal strings always share one node)
+  int32_t splice(const Decoder& d, int32_t text, int32_t partial) {
+    std::string word = arena.materialize(partial);
+    int32_t node = text;
+    auto extend_ch = [&](int32_t n, char c) {
+      uint64_t key = (static_cast<uint64_t>(n) << 16) |
+                     (0x8000u | static_cast<uint8_t>(c));
+      auto it = extend_cache.find(key);
+      if (it != extend_cache.end()) return it->second;
+      int32_t nn = arena.extend(n, c);
+      extend_cache.emplace(key, nn);
+      return nn;
+    };
+    if (node != 0) node = extend_ch(node, ' ');
+    for (char c : word) node = extend_ch(node, c);
+    return node;
+  }
+
+  // pyctcdecode score_partial_token: pure OOV penalty on the in-progress
+  // word, recomputed per frame for ranking, never accumulated.
+  double partial_score(const Decoder& d, int32_t partial) {
+    if (partial == 0 || !d.lm) return 0.0;
+    auto it = partial_cache.find(partial);
+    if (it != partial_cache.end()) return it->second;
+    std::string p = arena.materialize(partial);
+    double unk = d.unk_offset * (d.lm->has_unigram_prefix(p) ? 0.0 : 1.0);
+    if (p.size() > kAvgTokenLen)
+      unk = unk * static_cast<double>(p.size()) / kAvgTokenLen;
+    partial_cache.emplace(partial, unk);
+    return unk;
+  }
+
+  // Complete beam.partial into beam.text, ensuring the new text's cumulative
+  // LM score is cached. Once cached a text score is FINAL — the is_last
+  // boundary score only lands if this completion created the entry
+  // (pyctcdecode caches by text and skips recompute at EOS).
+  void complete_word(const Decoder& d, Beam& b, bool is_last) {
+    if (b.partial == 0) return;
+    int32_t new_text = splice(d, b.text, b.partial);
+    if (d.lm && lm_cache.find(new_text) == lm_cache.end()) {
+      auto pit = lm_cache.find(b.text);
+      const LMEntry prev = pit == lm_cache.end() ? LMEntry{} : pit->second;
+      std::string word = arena.materialize(b.partial);
+      int wid = d.lm->word_id(word);
+      std::vector<int> ctx(prev.ctx, prev.ctx + prev.ctx_len);
+      double raw = d.lm->score_word(ctx, wid);  // log10, backoff
+      if (!d.lm->is_unigram(word)) raw += d.unk_offset;
+      LMEntry e;
+      int maxc = std::min(std::max(d.lm->order - 1, 1), kMaxCtx);
+      int keep = std::min<int>(prev.ctx_len, maxc - 1);
+      int drop = prev.ctx_len - keep;
+      for (int i = 0; i < keep; ++i) e.ctx[i] = prev.ctx[drop + i];
+      e.ctx[keep] = wid;
+      e.ctx_len = static_cast<uint8_t>(keep + 1);
+      if (is_last && d.score_boundary && d.lm->eos_id >= 0) {
+        std::vector<int> ctx2(e.ctx, e.ctx + e.ctx_len);
+        raw += d.lm->score_word(ctx2, d.lm->eos_id);
+      }
+      e.score = prev.score + d.alpha * kLn10 * raw + d.beta;
+      lm_cache.emplace(new_text, e);
+    }
+    b.text = new_text;
+    b.partial = 0;
+  }
+
+  double text_score(int32_t text) const {
+    auto it = lm_cache.find(text);
+    return it == lm_cache.end() ? 0.0 : it->second.score;
+  }
+};
+
+std::string decode_one(const Decoder& d, const float* logp, int T, int V,
+                       int beam_width, float prune_logp, float token_min_logp) {
+  DecodeState st;
+  {
+    LMEntry root;
+    if (d.lm && d.score_boundary && d.lm->bos_id >= 0) {
+      root.ctx[0] = d.lm->bos_id;
+      root.ctx_len = 1;
+    }
+    st.lm_cache.emplace(0, root);
+  }
+  std::vector<Beam> beams(1);
+
+  auto rank_and_prune = [&](std::vector<Beam>& uniq) {
+    if (uniq.empty()) return;
+    double best = -1e300;
+    for (Beam& b : uniq) {
+      b.rank = b.p_ac + st.text_score(b.text) + st.partial_score(d, b.partial);
+      best = std::max(best, b.rank);
+    }
+    // pyctcdecode order: outlier filter (>= best + prune) then top-k
+    uniq.erase(std::remove_if(uniq.begin(), uniq.end(),
+                              [&](const Beam& b) {
+                                return b.rank < best + prune_logp;
+                              }),
+               uniq.end());
+    std::sort(uniq.begin(), uniq.end(),
+              [](const Beam& a, const Beam& b) { return a.rank > b.rank; });
+    if (static_cast<int>(uniq.size()) > beam_width) uniq.resize(beam_width);
+  };
 
   std::vector<Beam> next;
   std::unordered_map<uint64_t, size_t> merged;
+  auto merge = [&](std::vector<Beam>& in, std::vector<Beam>& out) {
+    merged.clear();
+    out.clear();
+    out.reserve(in.size());
+    for (Beam& b : in) {
+      uint64_t k =
+          (static_cast<uint64_t>(static_cast<uint32_t>(b.text)) << 32) |
+          (static_cast<uint64_t>(static_cast<uint32_t>(b.partial) & 0xFFFFFF)
+           << 8) |
+          static_cast<uint64_t>(static_cast<uint8_t>(b.last_char + 1));
+      auto it = merged.find(k);
+      if (it == merged.end()) {
+        merged.emplace(k, out.size());
+        out.push_back(b);
+      } else {
+        out[it->second].p_ac = logsumexp2(out[it->second].p_ac, b.p_ac);
+      }
+    }
+  };
+
+  std::vector<Beam> uniq;
   for (int t = 0; t < T; ++t) {
     const float* row = logp + static_cast<size_t>(t) * V;
     int max_idx = 0;
@@ -305,51 +436,31 @@ std::string decode_one(const Decoder& d, const float* logp, int T, int V,
           // special tokens (<s>, </s>, <unk>) consumed, emit nothing
           nb.last_char = v;
         } else if (v == d.delim_id) {
-          complete_word(d, arena, nb, /*is_last=*/false);
+          st.complete_word(d, nb, /*is_last=*/false);
           nb.last_char = v;
         } else {
-          nb.partial = extend_cached(b.partial, v);
+          nb.partial = st.extend_cached(d, b.partial, v);
           nb.last_char = v;
         }
         next.push_back(nb);
       }
     }
-    // merge beams with identical (text, partial, last_char)
-    merged.clear();
-    std::vector<Beam> uniq;
-    uniq.reserve(next.size());
-    for (Beam& b : next) {
-      // exact key: arena node ids are < 2^31 in practice but pack defensively
-      uint64_t k = (static_cast<uint64_t>(static_cast<uint32_t>(b.text)) << 32) |
-                   (static_cast<uint64_t>(static_cast<uint32_t>(b.partial) & 0xFFFFFF) << 8) |
-                   static_cast<uint64_t>(static_cast<uint8_t>(b.last_char + 1));
-      auto it = merged.find(k);
-      if (it == merged.end()) {
-        merged.emplace(k, uniq.size());
-        uniq.push_back(b);
-      } else {
-        uniq[it->second].p_ac = logsumexp2(uniq[it->second].p_ac, b.p_ac);
-      }
-    }
-    std::sort(uniq.begin(), uniq.end(),
-              [](const Beam& a, const Beam& b) { return a.score() > b.score(); });
-    if (static_cast<int>(uniq.size()) > beam_width) uniq.resize(beam_width);
-    if (!uniq.empty()) {
-      double best = uniq[0].score();
-      while (!uniq.empty() && uniq.back().score() < best + prune_logp)
-        uniq.pop_back();
-    }
+    merge(next, uniq);
+    rank_and_prune(uniq);
     beams.swap(uniq);
     if (beams.empty()) break;
   }
   if (beams.empty()) return "";
-  // finalize: score trailing partial words, re-rank
-  for (Beam& b : beams) complete_word(d, arena, b, /*is_last=*/true);
-  auto bestit =
-      std::max_element(beams.begin(), beams.end(), [](const Beam& a, const Beam& b) {
-        return a.score() < b.score();
-      });
-  return arena.materialize(bestit->text);
+  // EOS: complete trailing partial words (with boundary scoring), merge the
+  // now-identical beams, re-rank
+  for (Beam& b : beams) {
+    st.complete_word(d, b, /*is_last=*/true);
+    b.last_char = -1;  // merge on text alone at EOS like pyctcdecode
+  }
+  merge(beams, uniq);
+  rank_and_prune(uniq);
+  if (uniq.empty()) return "";
+  return st.arena.materialize(uniq.front().text);
 }
 
 }  // namespace
@@ -358,8 +469,8 @@ extern "C" {
 
 void* ctc_decoder_create(const char** vocab, int vocab_size, int blank_id,
                          const char* word_delim_token, const char* arpa_path,
-                         double alpha, double beta, int score_boundary,
-                         char* err_out, int err_cap) {
+                         double alpha, double beta, double unk_score_offset,
+                         int score_boundary, char* err_out, int err_cap) {
   auto d = std::make_unique<Decoder>();
   d->vocab.assign(vocab, vocab + vocab_size);
   d->blank_id = blank_id;
@@ -373,6 +484,7 @@ void* ctc_decoder_create(const char** vocab, int vocab_size, int blank_id,
   }
   d->alpha = alpha;
   d->beta = beta;
+  d->unk_offset = unk_score_offset;
   d->score_boundary = score_boundary != 0;
   if (arpa_path != nullptr && arpa_path[0] != '\0') {
     d->lm = std::make_unique<NGramLM>();
