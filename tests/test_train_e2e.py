@@ -261,3 +261,49 @@ def test_model_parallel_mesh_run(tmp_path, synthetic_splits_dir, tiny_encoders):
         hist_1["test"]["average"]["loss"],
         rtol=2e-4,
     )
+
+
+def test_competition_mode_e2e(tmp_path, tiny_encoders):
+    """--competition_mode routes the test split to competitionHoldOut/ and
+    uses EVERY block of train/ for training (ref: brain2text.py:90-126);
+    only_test produces the predictions artifact from the holdout data."""
+    from wav2vec2forbrain_tpu.data.dataset import Brain2TextDataset
+    from wav2vec2forbrain_tpu.data.synthetic import make_synthetic_splits_dir
+    from wav2vec2forbrain_tpu.experiments.args_models import (
+        B2TGruAndW2VArgsModel,
+    )
+
+    splits = make_synthetic_splits_dir(
+        str(tmp_path / "t12"),
+        n_trials=4,
+        n_blocks=2,
+        seed=3,
+        with_competition_holdout=True,
+    )
+    yaml_cfg = tiny_yaml_config(tmp_path, splits)
+    cfg = base_config(
+        only_test=True, competition_mode=True, visualize_predictions_n_batches=0
+    )
+
+    # split routing: test reads ALL holdout blocks; train keeps every block
+    args = B2TGruAndW2VArgsModel(**cfg)
+    test_ds = Brain2TextDataset(args, splits, "test")
+    train_ds = Brain2TextDataset(args, splits, "train")
+    # 2 sessions x 4 trials from competitionHoldOut/; train keeps ALL blocks
+    assert len(test_ds) == 8
+    assert len(train_ds) == 8
+    # sanity: without competition_mode, test carves block 0 out of train/
+    plain = B2TGruAndW2VArgsModel(**{**cfg, "competition_mode": False})
+    assert len(Brain2TextDataset(plain, splits, "test")) == 4
+    assert len(Brain2TextDataset(plain, splits, "train")) == 4
+
+    exp = impl.B2TGruAndW2VExperiment(cfg, yaml_cfg)
+    exp.run()
+    pred_path = os.path.join(exp.results_dir, "test_predictions.json")
+    assert os.path.exists(pred_path)
+    with open(pred_path) as f:
+        preds = json.load(f)
+    n_preds = sum(
+        len(h["batch"]["predictions"]) for h in preds["history"] if h["batch"]
+    )
+    assert n_preds == 8
