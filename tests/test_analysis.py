@@ -1,6 +1,7 @@
 """Analysis + profiling subsystem tests."""
 
 import json
+import os
 
 import numpy as np
 
@@ -107,3 +108,67 @@ def test_step_timer():
     assert m["train_samples_per_sec"] == 320.0
     assert m["train_samples_per_sec_per_chip"] == 160.0
     assert setup_stats([])["n"] == 0
+
+
+def test_tts_generation_orchestration(tmp_path):
+    """generate_speech_audio mirrors the reference's resume-capable
+    generate→mp3→wav flow (ref: latent_analysis_util.py:55-80) with
+    injectable callables, so the orchestration runs offline."""
+    from wav2vec2forbrain_tpu.analysis.latent_analysis import (
+        generate_speech_audio,
+    )
+
+    tts_calls = []
+    conv_calls = []
+
+    def fake_tts(text, mp3_path):
+        tts_calls.append(text)
+        with open(mp3_path, "wb") as f:
+            f.write(text.encode())
+
+    def fake_convert(mp3_path, wav_path):
+        conv_calls.append(mp3_path)
+        with open(mp3_path, "rb") as src, open(wav_path, "wb") as dst:
+            dst.write(src.read())
+
+    texts = ["HELLO WORLD", "THE CAT SAT"]
+    out = generate_speech_audio(
+        texts, str(tmp_path), tts=fake_tts, mp3_to_wav=fake_convert
+    )
+    assert out["newly_generated"] == 2
+    assert tts_calls == texts
+    assert [os.path.basename(p) for p in out["wav_paths"]] == ["0.wav", "1.wav"]
+    assert all(os.path.exists(p) for p in out["wav_paths"])
+
+    # resume: nothing regenerated on the second run
+    out2 = generate_speech_audio(
+        texts, str(tmp_path), tts=fake_tts, mp3_to_wav=fake_convert
+    )
+    assert out2["newly_generated"] == 0
+    assert len(tts_calls) == 2 and len(conv_calls) == 2
+
+    # a new transcript only generates the missing index
+    out3 = generate_speech_audio(
+        texts + ["NEW ONE"], str(tmp_path), tts=fake_tts, mp3_to_wav=fake_convert
+    )
+    assert out3["newly_generated"] == 1
+    assert tts_calls[-1] == "NEW ONE"
+
+
+def test_tts_generation_offline_reuses_existing(tmp_path):
+    from wav2vec2forbrain_tpu.analysis.latent_analysis import (
+        generate_speech_audio,
+        make_elevenlabs_tts,
+    )
+
+    # no key -> no TTS callable
+    assert make_elevenlabs_tts(None) is None
+    assert make_elevenlabs_tts("<your value here>") is None
+
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    (wav_dir / "0.wav").write_bytes(b"x")
+    out = generate_speech_audio(["A", "B"], str(tmp_path), tts=None)
+    assert out["wav_paths"][0] is not None
+    assert out["wav_paths"][1] is None
+    assert out["missing"] == 1

@@ -4,13 +4,119 @@ Replaces the reference's latent-analysis tooling
 (ref: src/analysis/latent_analysis_util.py:39-222): embed neural recordings
 through the trained brain encoder and real speech through the audio conv
 frontend, then compare the two latent distributions (cosine similarity,
-PCA projections). The ElevenLabs TTS generation step is optional and only
-attempted when an API key is configured (network-dependent).
+PCA projections). The ElevenLabs TTS generation step
+(`generate_speech_audio`) mirrors the reference's resume-capable
+generate→mp3→wav flow and only reaches the network when an API key is
+configured; the TTS and mp3→wav callables are injectable so the
+orchestration is testable offline.
 """
 
-from typing import Dict, Optional, Tuple
+import os
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
+
+# reference voice/format constants (latent_analysis_util.py:39-46)
+ELEVENLABS_VOICE_ID = "pMsXgVXv3BLzUgSXRplE"
+ELEVENLABS_OUTPUT_FORMAT = "mp3_22050_32"
+AUDIO_SAMPLE_RATE = 16000
+
+
+def make_elevenlabs_tts(api_key: Optional[str]) -> Optional[Callable]:
+    """Real TTS callable (transcription, out_mp3_path) -> None, or None when
+    no key / no elevenlabs package is available (offline-safe)."""
+    if not api_key or api_key in ("", "<your value here>"):
+        return None
+    try:
+        from elevenlabs.client import ElevenLabs
+    except ImportError:
+        print("elevenlabs package not installed; skipping TTS generation")
+        return None
+
+    client = ElevenLabs(api_key=api_key)
+
+    def tts(transcription: str, out_mp3_path: str):
+        audio = client.text_to_speech.convert(
+            voice_id=ELEVENLABS_VOICE_ID,
+            optimize_streaming_latency="0",
+            output_format=ELEVENLABS_OUTPUT_FORMAT,
+            text=transcription,
+        )
+        with open(out_mp3_path, "wb") as f:
+            for chunk in audio:
+                f.write(chunk)
+
+    return tts
+
+
+def _default_mp3_to_wav(mp3_path: str, wav_path: str):
+    """mp3 -> 16 kHz wav (the reference uses pydub/ffmpeg; gated import)."""
+    from pydub import AudioSegment
+
+    audio = AudioSegment.from_file(mp3_path, format="mp3", frame_rate=44100)
+    audio = audio.set_frame_rate(AUDIO_SAMPLE_RATE)
+    audio.export(wav_path, format="wav")
+
+
+def generate_speech_audio(
+    transcriptions: List[str],
+    working_dir: str,
+    tts: Optional[Callable] = None,
+    mp3_to_wav: Optional[Callable] = None,
+    override_existing: bool = False,
+) -> Dict[str, object]:
+    """TTS generation for the brain-vs-audio comparison, resume-capable like
+    the reference (ref: latent_analysis_util.py:55-80): transcript i ->
+    mp3/<i>.mp3 -> wav/<i>.wav, skipping files that already exist. Returns
+    {"wav_paths": [...], "newly_generated": n, "skipped": m}. With no TTS
+    callable, existing audio is reused and missing entries reported rather
+    than generated (graceful offline behavior)."""
+    mp3_dir = os.path.join(working_dir, "mp3")
+    wav_dir = os.path.join(working_dir, "wav")
+    os.makedirs(mp3_dir, exist_ok=True)
+    os.makedirs(wav_dir, exist_ok=True)
+    convert = mp3_to_wav or _default_mp3_to_wav
+
+    wav_paths: List[Optional[str]] = []
+    newly = 0
+    missing = 0
+    for i, transcription in enumerate(transcriptions):
+        mp3_path = os.path.join(mp3_dir, f"{i}.mp3")
+        wav_path = os.path.join(wav_dir, f"{i}.wav")
+        if not os.path.exists(mp3_path) or override_existing:
+            if tts is None:
+                if not os.path.exists(wav_path):
+                    missing += 1
+                    wav_paths.append(None)
+                    continue
+                wav_paths.append(wav_path)
+                continue
+            tts(transcription, mp3_path)
+            newly += 1
+        if not os.path.exists(wav_path) or override_existing:
+            convert(mp3_path, wav_path)
+        wav_paths.append(wav_path)
+    return {
+        "wav_paths": wav_paths,
+        "newly_generated": newly,
+        "missing": missing,
+    }
+
+
+def load_wav_batches(wav_paths: List[Optional[str]], batch_size: int = 8):
+    """Yield zero-padded (B, T) float32 audio batches for embed_audio."""
+    import soundfile
+
+    clips = []
+    for p in wav_paths:
+        if p is None:
+            continue
+        data, _sr = soundfile.read(p)
+        clips.append(np.asarray(data, np.float32))
+    for i in range(0, len(clips), batch_size):
+        chunk = clips[i : i + batch_size]
+        t = max(len(c) for c in chunk)
+        yield np.stack([np.pad(c, (0, t - len(c))) for c in chunk])
 
 
 def embed_brain(
