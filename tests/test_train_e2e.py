@@ -307,3 +307,25 @@ def test_competition_mode_e2e(tmp_path, tiny_encoders):
         len(h["batch"]["predictions"]) for h in preds["history"] if h["batch"]
     )
     assert n_preds == 8
+
+
+def test_pallas_under_dp_mesh_e2e(tmp_path, synthetic_splits_dir, tiny_encoders):
+    """use_pallas with a dp4 mesh (interpret-mode kernels on sharded
+    batches) must give the same test loss as the jnp path on the same
+    weights (same seed, only_test)."""
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    losses = {}
+    for use_pallas in (False, True):
+        cfg = base_config(
+            only_test=True,
+            mesh_data_parallel=4,
+            use_pallas=use_pallas,
+            visualize_predictions_n_batches=0,
+        )
+        exp = impl.B2TGruAndW2VExperiment(cfg, yaml_cfg)
+        exp.run()
+        with open(
+            os.path.join(exp.results_dir, "test_predictions.json")
+        ) as f:
+            losses[use_pallas] = json.load(f)["average"]["loss"]
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-5)
