@@ -5,7 +5,7 @@ Public flag surface mirrors the reference CLI exactly
 of the reference can switch without changing their command lines.
 """
 
-from typing import Literal, Optional
+from typing import Literal, Optional, Union
 
 from pydantic import BaseModel, Field
 
@@ -181,11 +181,14 @@ class BaseExperimentArgsModel(BaseModel):
         False,
         description="Use fused Pallas TPU kernels for the preprocessing chain",
     )
-    scan_layers: bool = Field(
-        True,
+    scan_layers: Union[bool, Literal["auto"]] = Field(
+        "auto",
         description=(
-            "Run the conformer encoder's layer loop as one lax.scan over "
-            "stacked layer params (identical numerics, ~10x faster compile)"
+            "Run the encoder's layer loop as one lax.scan over stacked "
+            "layer params (identical numerics, ~10x faster compile; the "
+            "unrolled chain is faster per step once compiled). 'auto' "
+            "unrolls only when the planned step count amortizes the extra "
+            "compile time"
         ),
     )
     checkpoint_every_n_epochs: Optional[int] = Field(

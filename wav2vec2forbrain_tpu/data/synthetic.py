@@ -47,8 +47,10 @@ def make_session_mat(
         spike_pow[0, i] = (rng.gamma(2.0, 1.0, size=(t, n_channels))).astype(
             np.float64
         )
-        # 2-4 words keeps target_len < (min_frames-32)//4 so CTC stays feasible
-        sentences.append(_random_sentence(rng, int(rng.integers(2, 5))))
+        # keep target_len (chars) well under the (t-32)//4 encoder frames so
+        # CTC stays feasible; ~12 frames per word (avg 5 chars + space)
+        hi = max(5, min(((t - 32) // 4) // 12, 10))
+        sentences.append(_random_sentence(rng, int(rng.integers(2, hi))))
         block_idx[i, 0] = float(i * n_blocks // n_trials + 1)
     savemat(
         path,
@@ -68,8 +70,18 @@ def make_synthetic_splits_dir(
     n_blocks: int = 2,
     seed: int = 0,
     with_competition_holdout: bool = False,
+    test_dir_n_trials: Optional[int] = None,
+    min_frames: int = 150,
+    max_frames: int = 250,
 ) -> str:
-    """Create train/ and test/ split dirs populated with synthetic sessions."""
+    """Create train/ and test/ split dirs populated with synthetic sessions.
+
+    The block split policy (ref: src/datasets/brain2text.py:90-126) reads the
+    val split from test/, and carves test off train/'s first block — so
+    `test_dir_n_trials` sizes the VAL split independently of the train-dir
+    trial count (benchmarks want realistic train epochs with a small val
+    epoch, like the real T12 layout).
+    """
     from wav2vec2forbrain_tpu.data.dataset import sessionNames
 
     if session_names is None:
@@ -80,11 +92,18 @@ def make_synthetic_splits_dir(
     )
     for split_dir in dirs:
         os.makedirs(root_path / split_dir, exist_ok=True)
+        trials = (
+            test_dir_n_trials
+            if split_dir == "test" and test_dir_n_trials is not None
+            else n_trials
+        )
         for k, name in enumerate(session_names):
             make_session_mat(
                 str(root_path / split_dir / f"{name}.mat"),
-                n_trials=n_trials,
+                n_trials=trials,
                 n_blocks=n_blocks,
+                min_frames=min_frames,
+                max_frames=max_frames,
                 seed=seed + 1000 * dirs.index(split_dir) + k,
             )
     return str(root_path)

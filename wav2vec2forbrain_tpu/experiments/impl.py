@@ -227,6 +227,28 @@ class B2TGruW2VExperimentBase:
             enc_cfg.do_stable_layer_norm = True
         return enc_cfg
 
+    def _resolve_scan_layers(self) -> bool:
+        """--scan_layers=auto: unroll the layer loop only when the run is
+        long enough to amortize the extra compile time.
+
+        Unrolled is faster per step but costs minutes of extra XLA compile
+        on the 12/24-layer encoders (scanned compiles ~10x faster); below
+        the break-even step count the scanned encoder wins on wall-clock.
+        The threshold is conservative vs the measured TPU numbers in
+        README.md's performance table."""
+        cfg = self.base_config
+        if cfg.scan_layers != "auto":
+            return bool(cfg.scan_layers)
+        if cfg.only_test:
+            return True
+        planned_steps = cfg.epochs * max(len(self.dataloader_train), 1)
+        unroll = planned_steps >= 1500
+        print(
+            f"scan_layers=auto: {'unrolled' if unroll else 'scanned'} encoder "
+            f"({planned_steps} planned train steps)"
+        )
+        return not unroll
+
     def _build_model(self):
         cfg = self.base_config
         latent = PRETRAINED_LATENT_SIZES[cfg.wav2vec_checkpoint]
@@ -241,7 +263,7 @@ class B2TGruW2VExperimentBase:
                 jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
             ),
             use_pallas=cfg.use_pallas,
-            scan_layers=cfg.scan_layers,
+            scan_layers=self._resolve_scan_layers(),
         )
         self._init_rng, k = jax.random.split(self._init_rng)
         params, state = init_model_params(k, self.spec)
