@@ -1,5 +1,8 @@
 """Host-side CTC beam search + n-gram LM decode (native C++ via ctypes).
 
+LM models may be ARPA text or kenlm probing binaries (auto-detected by
+magic); see decode/native/kenlm_binary.h for the binary reader.
+
 Replaces the reference's pyctcdecode + kenlm path
 (ref: src/train/evaluator.py:148-154,189-210): device log-probs are fetched
 once per test batch and decoded on CPU threads, overlapped with TPU eval.
@@ -25,8 +28,13 @@ def _build_library() -> str:
     env_so = os.environ.get("WAV2VEC2FORBRAIN_TPU_SO")
     if env_so and os.path.exists(env_so):
         return env_so
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    native_dir = os.path.dirname(_SRC)
+    for name in sorted(os.listdir(native_dir)):
+        if name.endswith((".cc", ".h", ".hpp")):
+            with open(os.path.join(native_dir, name), "rb") as f:
+                h.update(name.encode() + b"\0" + f.read())
+    digest = h.hexdigest()[:16]
     cache_dir = os.path.join(
         tempfile.gettempdir(), f"w2b_tpu_native_{os.getuid()}"
     )
@@ -76,7 +84,8 @@ def _get_lib():
 
 
 class CTCBeamDecoder:
-    """pyctcdecode-flavoured prefix beam search with optional ARPA LM."""
+    """pyctcdecode-flavoured prefix beam search with an optional n-gram LM
+    (ARPA text or kenlm probing binary, auto-detected)."""
 
     def __init__(
         self,

@@ -52,25 +52,29 @@
 #include <unordered_map>
 #include <vector>
 
+#include "kenlm_binary.h"
+
 namespace {
 
 constexpr float kNegInf = -1e30f;
 constexpr double kLn10 = 2.302585092994046;
 
-// ---------------------------------------------------------------- ARPA LM --
+// --------------------------------------------------------- LM interface --
 
-struct NGramLM {
-  // key: space-joined word ids; value: (log10 prob, log10 backoff)
-  struct Entry {
-    double logp;
-    double backoff;
-  };
+// Two interchangeable n-gram backends: ARPA text (NGramLM below) and the
+// kenlm probing binary format (KenlmBinaryLM / native/kenlm_binary.h) — the
+// format real LM artifacts for this benchmark ship in. Word ids live in the
+// backend's own space; the decoder only threads them through score_word.
+struct LanguageModel {
   int order = 0;
-  std::unordered_map<std::string, int> word_ids;
-  std::vector<std::unordered_map<std::string, Entry>> tables;  // [n-1]
   int unk_id = -1, bos_id = -1, eos_id = -1;
   // 1-gram vocabulary, sorted, for pyctcdecode-style OOV / prefix checks
   std::vector<std::string> unigram_words;
+
+  virtual ~LanguageModel() = default;
+  virtual int word_id(const std::string& w) const = 0;
+  // log10 P(w | context) with standard Katz backoff.
+  virtual double score_word(const std::vector<int>& context, int w) const = 0;
 
   bool is_unigram(const std::string& w) const {
     return std::binary_search(unigram_words.begin(), unigram_words.end(), w);
@@ -82,8 +86,20 @@ struct NGramLM {
         std::lower_bound(unigram_words.begin(), unigram_words.end(), p);
     return it != unigram_words.end() && it->compare(0, p.size(), p) == 0;
   }
+};
 
-  int word_id(const std::string& w) const {
+// ---------------------------------------------------------------- ARPA LM --
+
+struct NGramLM : LanguageModel {
+  // key: space-joined word ids; value: (log10 prob, log10 backoff)
+  struct Entry {
+    double logp;
+    double backoff;
+  };
+  std::unordered_map<std::string, int> word_ids;
+  std::vector<std::unordered_map<std::string, Entry>> tables;  // [n-1]
+
+  int word_id(const std::string& w) const override {
     auto it = word_ids.find(w);
     if (it != word_ids.end()) return it->second;
     return unk_id;
@@ -98,8 +114,7 @@ struct NGramLM {
     return k;
   }
 
-  // log10 P(w | context) with standard Katz backoff.
-  double score_word(const std::vector<int>& context, int w) const {
+  double score_word(const std::vector<int>& context, int w) const override {
     std::vector<int> ids(context);
     ids.push_back(w);
     size_t total = ids.size();
@@ -204,6 +219,43 @@ struct NGramLM {
   }
 };
 
+// ------------------------------------------------------ kenlm binary LM --
+
+// Adapter over the probing-format reader (kenlm_binary.h). Word ids are the
+// kenlm vocab indices (<unk> = 0); the unigram set for pyctcdecode-style
+// OOV/prefix checks comes from the binary's embedded vocabulary strings —
+// richer than pyctcdecode, which cannot extract unigrams from a binary LM
+// at all and decodes with an empty unigram set unless given unigrams.txt.
+struct KenlmBinaryLM : LanguageModel {
+  kenlm_binary::KenlmBinaryModel model;
+
+  bool load(const std::string& path, std::string* err) {
+    if (!model.load(path, err)) return false;
+    order = model.order;
+    unk_id = 0;
+    for (uint32_t id = 1; id < model.words.size(); ++id) {
+      const std::string& w = model.words[id];
+      if (w == "<s>") {
+        bos_id = static_cast<int>(id);
+      } else if (w == "</s>") {
+        eos_id = static_cast<int>(id);
+      } else {
+        unigram_words.push_back(w);
+      }
+    }
+    std::sort(unigram_words.begin(), unigram_words.end());
+    return true;
+  }
+
+  int word_id(const std::string& w) const override {
+    return model.word_id(w);
+  }
+
+  double score_word(const std::vector<int>& context, int w) const override {
+    return model.score_word(context, w);
+  }
+};
+
 // ----------------------------------------------------------- beam search --
 
 // Prefix arena: beams reference interned character chains instead of owning
@@ -256,7 +308,7 @@ struct Decoder {
   int blank_id = 0;
   int delim_id = -1;               // word delimiter ("|" -> space)
   std::vector<bool> special;      // tokens like <s> </s> <unk>: never emitted
-  std::unique_ptr<NGramLM> lm;
+  std::unique_ptr<LanguageModel> lm;
   double alpha = 0.5, beta = 0.5;
   double unk_offset = -10.0;  // pyctcdecode DEFAULT_UNK_LOGP_OFFSET
   bool score_boundary = false;
@@ -487,11 +539,21 @@ void* ctc_decoder_create(const char** vocab, int vocab_size, int blank_id,
   d->unk_offset = unk_score_offset;
   d->score_boundary = score_boundary != 0;
   if (arpa_path != nullptr && arpa_path[0] != '\0') {
-    d->lm = std::make_unique<NGramLM>();
     std::string err;
-    if (!d->lm->load_arpa(arpa_path, &err)) {
-      std::snprintf(err_out, err_cap, "%s", err.c_str());
-      return nullptr;
+    if (kenlm_binary::KenlmBinaryModel::looks_like_kenlm_binary(arpa_path)) {
+      auto lm = std::make_unique<KenlmBinaryLM>();
+      if (!lm->load(arpa_path, &err)) {
+        std::snprintf(err_out, err_cap, "%s", err.c_str());
+        return nullptr;
+      }
+      d->lm = std::move(lm);
+    } else {
+      auto lm = std::make_unique<NGramLM>();
+      if (!lm->load_arpa(arpa_path, &err)) {
+        std::snprintf(err_out, err_cap, "%s", err.c_str());
+        return nullptr;
+      }
+      d->lm = std::move(lm);
     }
   }
   return d.release();
