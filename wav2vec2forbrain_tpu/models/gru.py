@@ -162,13 +162,25 @@ def _bigru_layer_fused(
 
 
 def _pallas_gru_vmem_bytes(b: int, h: int) -> int:
-    """Peak VMEM of the Pallas GRU backward kernel (w + dw blocks resident,
-    double-buffered gi/dgi/hprev/g streams)."""
+    """Peak VMEM of the fused (both-directions-per-step) Pallas GRU backward
+    kernel (w + dw blocks resident, double-buffered gi/dgi/hprev/g streams)."""
     h3 = 3 * h
     weights = 2 * h * h3 * 4 * 2          # w_ref + dw_ref, both directions
     streams = (2 * 2 * b * h3 * 4) * 2    # gi_buf + dgi_buf (2 slots each)
     hstreams = (2 * 2 * b * h * 4) * 2    # hprev_buf + g_buf
     carry = 2 * b * h * 4 * 2             # dh_ref + dh0
+    return weights + streams + hstreams + carry + (1 << 20)
+
+
+def _pallas_gru_dir_vmem_bytes(b: int, h: int, cd_bytes: int) -> int:
+    """Peak VMEM of the per-direction (grid=(2,)) backward kernel: one
+    direction's weight in the compute dtype, double-buffered gi/dgi/r/g/hprev
+    streams, NO on-chip dW accumulator (dW/db are one XLA einsum outside)."""
+    h3 = 3 * h
+    weights = h * h3 * cd_bytes                  # w_ref, one direction
+    streams = (2 * b * h3 * 4) * 2               # gi_buf + dgi_buf
+    hstreams = (2 * b * h * 4) * 3               # hprev + g + r bufs
+    carry = b * h * 4 * 2                        # dh_ref + dh0
     return weights + streams + hstreams + carry + (1 << 20)
 
 
@@ -216,17 +228,33 @@ def apply_gru(
                 h0 = jnp.zeros((2, b, hidden_size), jnp.float32)
             # the Pallas recurrence needs lane-aligned gate slices
             # (hidden_size % 128 == 0) and must fit its weight + stream
-            # buffers in VMEM; otherwise fall back to the scan
-            if (
+            # buffers in VMEM. Small hidden sizes use the fused
+            # both-directions-per-step kernel; larger ones (the 512/1024
+            # sweep configs) the per-direction grid kernel, which keeps only
+            # one direction's weight resident and computes dW outside;
+            # otherwise fall back to the scan.
+            cd_bytes = jnp.dtype(compute_dtype or out.dtype).itemsize
+            budget = 14 * 2**20
+            use_fused = (
                 use_pallas
                 and hidden_size % 128 == 0
-                and _pallas_gru_vmem_bytes(b, hidden_size) <= 14 * 2**20
-            ):
+                and _pallas_gru_vmem_bytes(b, hidden_size) <= budget
+            )
+            use_dir = (
+                use_pallas
+                and not use_fused
+                and hidden_size % 128 == 0
+                and _pallas_gru_dir_vmem_bytes(b, hidden_size, cd_bytes)
+                <= budget
+            )
+            if use_fused or use_dir:
                 from wav2vec2forbrain_tpu.ops.pallas_gru import (
                     bigru_layer_pallas,
                 )
 
-                out = bigru_layer_pallas(dirs, out, h0, compute_dtype)
+                out = bigru_layer_pallas(
+                    dirs, out, h0, compute_dtype, per_direction=use_dir
+                )
             else:
                 out = _bigru_layer_fused(dirs, out, h0, compute_dtype)
         else:

@@ -312,12 +312,336 @@ def _vjp_bwd(compute_dtype, residuals, g):
 gru_recurrence.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# --------------------------------------------------------------------------
+# Per-direction variant for LARGE hidden sizes (512/1024 sweep configs).
+#
+# The fused kernel keeps BOTH directions' weights + a direction-batched
+# stream set resident, which blows past VMEM for hidden >= 512. This variant
+# processes the directions sequentially inside ONE program: the recurrent
+# weights live in HBM (compute dtype) and each direction's matrix is DMA'd
+# into a single VMEM scratch slab before its time loop, so only one
+# direction's weight is resident at a time. The backward kernel does NOT
+# accumulate dW/db on-chip either: it streams out dgi and the reset gate r
+# per timestep, and dW_hh/db_hh fall out of one big XLA einsum outside
+# (dgh = dgi with the n-gate column scaled by r). A grid=(2,) formulation
+# was rejected: XLA pins unblocked pallas outputs of gridded kernels into
+# scoped VMEM, which OOMs at (T, 2, B, 1024) f32.
+
+
+def _fwd_kernel_dir(gi_hbm, w_hbm, b_ref, h0_ref, ys_hbm, *, t_len, compute_dtype):
+    """gi_hbm (T,2,B,3H) f32 HBM; w_hbm (2,H,3H) compute-dtype HBM;
+    b_ref (2,1,3H) VMEM; h0_ref (2,B,H) VMEM; ys_hbm (T,2,B,H) f32 out."""
+
+    def body(w_buf, gi_buf, ys_buf, h_ref, w_sem, in_sems, out_sems):
+        for d in range(2):  # sequential directions, one weight resident
+            w_dma = pltpu.make_async_copy(w_hbm.at[d], w_buf, w_sem)
+            w_dma.start()
+
+            def in_dma(slot, t, d=d):
+                return pltpu.make_async_copy(
+                    gi_hbm.at[t, d], gi_buf.at[slot], in_sems.at[slot]
+                )
+
+            def out_dma(slot, t, d=d):
+                return pltpu.make_async_copy(
+                    ys_buf.at[slot], ys_hbm.at[t, d], out_sems.at[slot]
+                )
+
+            in_dma(0, 0).start()
+            h_ref[...] = h0_ref[d]
+            w_dma.wait()
+            bias = b_ref[d]
+
+            def step(t, _, in_dma=in_dma, out_dma=out_dma, bias=bias):
+                slot = t % 2
+                nxt = (t + 1) % 2
+
+                @pl.when(t + 1 < t_len)
+                def _():
+                    in_dma(nxt, t + 1).start()
+
+                in_dma(slot, t).wait()
+                gh = _mm(h_ref[...], w_buf[...], compute_dtype) + bias
+                _r, _z, _n, _ghn, h_new = _gates(gi_buf[slot], gh, h_ref[...])
+                h_ref[...] = h_new
+
+                @pl.when(t >= 2)
+                def _():
+                    out_dma(slot, t - 2).wait()
+
+                ys_buf[slot] = h_new
+                out_dma(slot, t).start()
+                return 0
+
+            jax.lax.fori_loop(0, t_len, step, 0)
+
+            @pl.when(t_len >= 2)
+            def _():
+                out_dma(t_len % 2, t_len - 2).wait()
+
+            out_dma((t_len - 1) % 2, t_len - 1).wait()
+
+    b_sz, h3 = gi_hbm.shape[2], gi_hbm.shape[3]
+    h_sz = h3 // 3
+    pl.run_scoped(
+        body,
+        w_buf=pltpu.VMEM((h_sz, h3), w_hbm.dtype),
+        gi_buf=pltpu.VMEM((2, b_sz, h3), jnp.float32),
+        ys_buf=pltpu.VMEM((2, b_sz, h_sz), jnp.float32),
+        h_ref=pltpu.VMEM((b_sz, h_sz), jnp.float32),
+        w_sem=pltpu.SemaphoreType.DMA(()),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _bwd_kernel_dir(
+    gi_hbm, w_hbm, b_ref, h0_ref, ys_hbm, g_hbm,
+    dgi_hbm, r_hbm, dh0_ref,
+    *, t_len, compute_dtype,
+):
+    """Reverse-time BPTT, directions sequential in one program.
+
+    Emits per-timestep dgi AND the reset gate r (so dgh — and from it dW_hh,
+    db_hh — can be reconstructed outside without keeping a (H, 3H) f32
+    accumulator in VMEM). dh_{t-1} = dh*z + dgh @ W^T is computed via
+    dot_general contracting the 3H axes, so W is never transposed on-chip."""
+
+    def body(w_buf, gi_buf, hprev_buf, g_buf, dgi_buf, r_buf, dh_ref,
+             w_sem, in_sems, hp_sems, g_sems, out_sems, r_sems):
+        for d in range(2):
+            w_dma = pltpu.make_async_copy(w_hbm.at[d], w_buf, w_sem)
+            w_dma.start()
+
+            def gi_dma(slot, t, d=d):
+                return pltpu.make_async_copy(
+                    gi_hbm.at[t, d], gi_buf.at[slot], in_sems.at[slot]
+                )
+
+            def hp_dma(slot, t, d=d):
+                return pltpu.make_async_copy(
+                    ys_hbm.at[t - 1, d], hprev_buf.at[slot], hp_sems.at[slot]
+                )
+
+            def g_dma(slot, t, d=d):
+                return pltpu.make_async_copy(
+                    g_hbm.at[t, d], g_buf.at[slot], g_sems.at[slot]
+                )
+
+            def dgi_dma(slot, t, d=d):
+                return pltpu.make_async_copy(
+                    dgi_buf.at[slot], dgi_hbm.at[t, d], out_sems.at[slot]
+                )
+
+            def r_dma(slot, t, d=d):
+                return pltpu.make_async_copy(
+                    r_buf.at[slot], r_hbm.at[t, d], r_sems.at[slot]
+                )
+
+            t0 = t_len - 1
+            gi_dma(t0 % 2, t0).start()
+            g_dma(t0 % 2, t0).start()
+
+            @pl.when(t0 > 0)
+            def _():
+                hp_dma(t0 % 2, t0).start()
+
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+            w_dma.wait()
+            bias = b_ref[d]
+
+            def step(i, _, gi_dma=gi_dma, hp_dma=hp_dma, g_dma=g_dma,
+                     dgi_dma=dgi_dma, r_dma=r_dma, bias=bias, d=d):
+                t = t_len - 1 - i
+                slot = t % 2
+                nxt = (t - 1) % 2
+
+                @pl.when(t - 1 >= 0)
+                def _():
+                    gi_dma(nxt, t - 1).start()
+                    g_dma(nxt, t - 1).start()
+
+                @pl.when(t - 1 >= 1)
+                def _():
+                    hp_dma(nxt, t - 1).start()
+
+                gi_dma(slot, t).wait()
+                g_dma(slot, t).wait()
+
+                def read_hprev():
+                    hp_dma(slot, t).wait()
+                    return hprev_buf[slot]
+
+                hprev = jax.lax.cond(t == 0, lambda: h0_ref[d], read_hprev)
+
+                @pl.when(i >= 2)
+                def _():
+                    dgi_dma(slot, t + 2).wait()
+                    r_dma(slot, t + 2).wait()
+
+                gi_t = gi_buf[slot]
+                gh = _mm(hprev, w_buf[...], compute_dtype) + bias
+                r, z, n, gh_n, _h_new = _gates(gi_t, gh, hprev)
+
+                dh = dh_ref[...] + g_buf[slot]
+                dn = dh * (1.0 - z)
+                dz = dh * (hprev - n)
+                dgn = dn * (1.0 - n * n)
+                dr = dgn * gh_n
+                dghn = dgn * r
+                dgz = dz * z * (1.0 - z)
+                dgr = dr * r * (1.0 - r)
+                dgi = jnp.concatenate([dgr, dgz, dgn], axis=-1)
+                dgh = jnp.concatenate([dgr, dgz, dghn], axis=-1)
+
+                # dh_{t-1} = dh*z + dgh @ w^T (contract both 3H axes)
+                dh_ref[...] = dh * z + jax.lax.dot_general(
+                    dgh.astype(compute_dtype), w_buf[...],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dgi_buf[slot] = dgi
+                r_buf[slot] = r
+                dgi_dma(slot, t).start()
+                r_dma(slot, t).start()
+                return 0
+
+            jax.lax.fori_loop(0, t_len, step, 0)
+            dh0_ref[d] = dh_ref[...]
+
+            @pl.when(t_len >= 2)
+            def _():
+                dgi_dma(1, 1).wait()
+                r_dma(1, 1).wait()
+
+            dgi_dma(0, 0).wait()
+            r_dma(0, 0).wait()
+
+    b_sz, h3 = gi_hbm.shape[2], gi_hbm.shape[3]
+    h_sz = h3 // 3
+    pl.run_scoped(
+        body,
+        w_buf=pltpu.VMEM((h_sz, h3), w_hbm.dtype),
+        gi_buf=pltpu.VMEM((2, b_sz, h3), jnp.float32),
+        hprev_buf=pltpu.VMEM((2, b_sz, h_sz), jnp.float32),
+        g_buf=pltpu.VMEM((2, b_sz, h_sz), jnp.float32),
+        dgi_buf=pltpu.VMEM((2, b_sz, h3), jnp.float32),
+        r_buf=pltpu.VMEM((2, b_sz, h_sz), jnp.float32),
+        dh_ref=pltpu.VMEM((b_sz, h_sz), jnp.float32),
+        w_sem=pltpu.SemaphoreType.DMA(()),
+        in_sems=pltpu.SemaphoreType.DMA((2,)),
+        hp_sems=pltpu.SemaphoreType.DMA((2,)),
+        g_sems=pltpu.SemaphoreType.DMA((2,)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+        r_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gru_recurrence_dir(gi, w_hh, b_hh, h0, compute_dtype=jnp.float32):
+    """Sequential-per-direction recurrence for large hidden sizes.
+
+    gi: (T, 2, B, 3H) f32; w_hh: (2, H, 3H); b_hh: (2, 1, 3H);
+    h0: (2, B, H) f32 -> ys (T, 2, B, H) f32."""
+    return _fwd_impl_dir(gi, w_hh, b_hh, h0, compute_dtype)
+
+
+def _fwd_impl_dir(gi, w_hh, b_hh, h0, compute_dtype):
+    t_len = gi.shape[0]
+    b_sz, h3 = gi.shape[2], gi.shape[3]
+    h_sz = h3 // 3
+    kern = functools.partial(
+        _fwd_kernel_dir, t_len=t_len, compute_dtype=compute_dtype
+    )
+    return pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # gi stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # w (DMA'd per direction)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((t_len, 2, b_sz, h_sz), jnp.float32),
+        interpret=_interpret(),
+    )(
+        gi.astype(jnp.float32),
+        w_hh.astype(compute_dtype),
+        b_hh.reshape(b_hh.shape[0], 1, -1).astype(jnp.float32),
+        h0,
+    )
+
+
+def _vjp_fwd_dir(gi, w_hh, b_hh, h0, compute_dtype):
+    ys = _fwd_impl_dir(gi, w_hh, b_hh, h0, compute_dtype)
+    return ys, (gi, w_hh, b_hh, h0, ys)
+
+
+def _vjp_bwd_dir(compute_dtype, residuals, g):
+    gi, w_hh, b_hh, h0, ys = residuals
+    t_len = gi.shape[0]
+    d, b_sz, h3 = gi.shape[1], gi.shape[2], gi.shape[3]
+    h_sz = h3 // 3
+    kern = functools.partial(
+        _bwd_kernel_dir, t_len=t_len, compute_dtype=compute_dtype
+    )
+    dgi, r_seq, dh0 = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # gi
+            pl.BlockSpec(memory_space=pl.ANY),   # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
+            pl.BlockSpec(memory_space=pl.ANY),   # ys
+            pl.BlockSpec(memory_space=pl.ANY),   # g
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # dgi
+            pl.BlockSpec(memory_space=pl.ANY),   # r_seq
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dh0
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, d, b_sz, h3), jnp.float32),
+            jax.ShapeDtypeStruct((t_len, d, b_sz, h_sz), jnp.float32),
+            jax.ShapeDtypeStruct((d, b_sz, h_sz), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(
+        gi.astype(jnp.float32),
+        w_hh.astype(compute_dtype),
+        b_hh.reshape(b_hh.shape[0], 1, -1).astype(jnp.float32),
+        h0,
+        ys,
+        g.astype(jnp.float32),
+    )
+    # dgh = dgi with the n-gate column scaled by r; dW_hh/db_hh fall out of
+    # one large MXU-friendly einsum over all timesteps (XLA, f32)
+    dgh = jnp.concatenate(
+        [dgi[..., : 2 * h_sz], dgi[..., 2 * h_sz :] * r_seq], axis=-1
+    )
+    hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)  # (T, 2, B, H)
+    dw = jnp.einsum(
+        "tdbh,tdbk->dhk", hprev, dgh, preferred_element_type=jnp.float32
+    )
+    db = jnp.sum(dgh, axis=(0, 2), keepdims=False)[:, None, :]  # (2, 1, 3H)
+    return dgi, dw, db.reshape(b_hh.shape), dh0
+
+
+gru_recurrence_dir.defvjp(_vjp_fwd_dir, _vjp_bwd_dir)
+
+
 def bigru_layer_pallas(
-    dirs: list, x: jnp.ndarray, h0: jnp.ndarray, compute_dtype=None
+    dirs: list,
+    x: jnp.ndarray,
+    h0: jnp.ndarray,
+    compute_dtype=None,
+    per_direction: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for models.gru._bigru_layer_fused using the Pallas recurrence.
 
-    x: (B, T, in); h0: (2, B, H) f32 -> (B, T, 2H)."""
+    x: (B, T, in); h0: (2, B, H) f32 -> (B, T, 2H). per_direction selects the
+    large-hidden grid=(2,) kernels (one direction's weights VMEM-resident at
+    a time); the default fused kernel batches both directions per step."""
     cd = compute_dtype or x.dtype
     xs = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)  # (2, B, T, in)
     w_ih = jnp.stack([d["w_ih"] for d in dirs]).astype(cd)
@@ -332,7 +656,8 @@ def bigru_layer_pallas(
         b_hh = jnp.stack([d["b_hh"] for d in dirs])[:, None, :]
     else:
         b_hh = jnp.zeros((2, 1, w_hh.shape[-1]), jnp.float32)
-    ys = gru_recurrence(gi, w_hh, b_hh, h0, cd)  # (T, 2, B, H)
+    rec = gru_recurrence_dir if per_direction else gru_recurrence
+    ys = rec(gi, w_hh, b_hh, h0, cd)  # (T, 2, B, H)
     fwd = jnp.transpose(ys[:, 0], (1, 0, 2))
     bwd = jnp.flip(jnp.transpose(ys[:, 1], (1, 0, 2)), axis=1)
     return jnp.concatenate([fwd, bwd], axis=-1)
