@@ -23,3 +23,8 @@ dryrun:
 
 sweep-dry:
 	python sweep.py sweeps/b2p2t_gru+w2v_full_fine_tuning.yaml --dry_run --max_runs 3
+
+# ARPA text LM -> kenlm probing binary (mmap'd O(1) load in the decoder)
+# usage: make lm-binary ARPA=path/to/lm.arpa BIN=path/to/lm.bin
+lm-binary:
+	python tools/arpa_to_kenlm_binary.py $(ARPA) $(BIN)

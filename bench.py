@@ -138,15 +138,19 @@ def bench_e2e_trainer(on_accel):
                 n_trials=60,  # 5 blocks: 12 go to the test split per session
                 n_blocks=5,
                 test_dir_n_trials=8,
-                min_frames=320,
-                max_frames=480,
+                min_frames=280,
+                max_frames=380,
             )
             run_cfg = dict(
                 batch_size=32,
                 epochs=3,
                 compute_dtype="bfloat16",
                 use_pallas=True,
-                pad_to_multiple=128,
+                # one (T, U) bucket: bounds the bench to a single train +
+                # eval compile (the 280-380-frame data all pads to 384,
+                # i.e. 88 encoder frames — the headline-step shape; 512
+                # frames OOMs HBM at bs 32 on v5e)
+                pad_to_multiple=384,
                 target_pad_to_multiple=64,
             )
         else:  # CPU smoke: tiny encoders, tiny data

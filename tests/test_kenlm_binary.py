@@ -190,7 +190,26 @@ def test_converter_layout_is_self_describing(lm_paths):
     assert order == 3
     counts = struct.unpack_from("<3Q", data, 108)
     assert counts[0] == 3 + len(WORDS)
-    # strings section: last `bound` NUL-separated words, <unk> first
-    tail = data.rstrip(b"\x00").split(b"\x00")
-    assert tail[-(3 + len(WORDS))] == b"<unk>"
+    # strings section: the file ends with the exact NUL-terminated word list
+    # in vocab-id order (<unk> pinned first, then ARPA 1-gram order). Checked
+    # as a byte-suffix: the section has no length prefix, so the reader must
+    # recover it purely from the id ordering written here.
+    arpa, _ = lm_paths
+    order_1g = []
+    with open(arpa) as f:
+        in_1g = False
+        for line in f:
+            line = line.strip()
+            if line == "\\1-grams:":
+                in_1g = True
+                continue
+            if in_1g:
+                if line.startswith("\\") or not line:
+                    break
+                order_1g.append(line.split("\t")[1])
+    expected = [b"<unk>"] + [
+        w.encode() for w in order_1g if w != "<unk>"
+    ]
+    assert len(expected) == 3 + len(WORDS)  # <unk>, <s>, </s>, vocab words
+    assert data.endswith(b"\x00".join(expected) + b"\x00")
     assert size == len(data)
