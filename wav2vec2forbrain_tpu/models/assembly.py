@@ -79,7 +79,9 @@ class ModelSpec:
     # training-time behaviour
     ctc_loss_reduction: str = "mean"
     compute_dtype: Any = jnp.float32
-    use_pallas: bool = False  # fused preprocessing kernel (ops/pallas_preproc)
+    # Pallas TPU kernels: fused preprocessing (ops/pallas_preproc), fused
+    # biGRU recurrence (ops/pallas_gru), fused attention (ops/pallas_attention)
+    use_pallas: bool = False
     scan_layers: bool = False  # conformer layers as one lax.scan (fast compile)
 
     @property
@@ -254,12 +256,12 @@ def forward(
 
             hidden = apply_w2v_encoder_scanned(
                 params["w2v"]["encoder"], latents, spec.w2v_cfg, enc_rng,
-                train, cd,
+                train, cd, use_pallas=spec.use_pallas,
             )
         else:
             hidden = apply_w2v_encoder(
                 params["w2v"]["encoder"], latents, spec.w2v_cfg, enc_rng,
-                train, cd,
+                train, cd, use_pallas=spec.use_pallas,
             )
         new_state = state
         logits = apply_lm_head(
@@ -276,7 +278,8 @@ def forward(
         else:
             enc_fn = apply_conformer_encoder
         hidden, new_enc_state = enc_fn(
-            params["w2v"]["encoder"], state["encoder"], latents, cfg, enc_rng, train, cd
+            params["w2v"]["encoder"], state["encoder"], latents, cfg, enc_rng,
+            train, cd, use_pallas=spec.use_pallas,
         )
         new_state = {"encoder": new_enc_state}
         # ForCTC head: final dropout + vocab projection

@@ -223,7 +223,8 @@ def conformer_feed_forward(p, x, cfg, rng, train, compute_dtype):
 
 
 def conformer_self_attention(
-    p, x, cfg: ConformerEncoderConfig, cos, sin, rng, train, compute_dtype
+    p, x, cfg: ConformerEncoderConfig, cos, sin, rng, train, compute_dtype,
+    use_pallas=False,
 ):
     b, t, h = x.shape
     heads = cfg.num_attention_heads
@@ -239,19 +240,31 @@ def conformer_self_attention(
     k = jnp.transpose(k, (0, 2, 1, 3))
     v = jnp.transpose(v, (0, 2, 1, 3))
 
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
-        preferred_element_type=jnp.float32,
-    ) / math.sqrt(head)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    if train and cfg.attention_dropout > 0.0:
-        rng, sub = jax.random.split(rng)
-        keep = jax.random.bernoulli(sub, 1.0 - cfg.attention_dropout, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - cfg.attention_dropout), 0.0)
-    ctx = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(cd), v.astype(cd),
-        preferred_element_type=jnp.float32,
-    )
+    if use_pallas:
+        from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng
+
+        ctx, rng = mha_with_rng(
+            q, k, v, 1.0 / math.sqrt(head), cfg.attention_dropout, rng,
+            train, cd,
+        )
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(head)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        if train and cfg.attention_dropout > 0.0:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(
+                sub, 1.0 - cfg.attention_dropout, probs.shape
+            )
+            probs = jnp.where(
+                keep, probs / (1.0 - cfg.attention_dropout), 0.0
+            )
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(cd), v.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
     ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h)
     return apply_linear(p["linear_out"], ctx, cd), rng
 
@@ -320,7 +333,8 @@ def conformer_conv_module(
 
 
 def conformer_layer(
-    p, state, x, cfg: ConformerEncoderConfig, cos, sin, rng, train, compute_dtype
+    p, state, x, cfg: ConformerEncoderConfig, cos, sin, rng, train,
+    compute_dtype, use_pallas=False,
 ):
     # FFN1 (half-step)
     residual = x
@@ -332,7 +346,8 @@ def conformer_layer(
     residual = x
     y = _layer_norm(p["self_attn_layer_norm"], x, cfg.layer_norm_eps)
     y, rng = conformer_self_attention(
-        p["self_attn"], y, cfg, cos, sin, rng, train, compute_dtype
+        p["self_attn"], y, cfg, cos, sin, rng, train, compute_dtype,
+        use_pallas,
     )
     rng, y = _dropout(rng, y, cfg.attention_dropout, train)
     x = residual + y
@@ -361,6 +376,7 @@ def apply_conformer_encoder(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     compute_dtype=None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full encoder. Returns (hidden (B,T,H), new_state). Train-mode
     LayerDrop matches torch semantics (wav2vec2.layerdrop_mask); a dropped
@@ -375,7 +391,8 @@ def apply_conformer_encoder(
     new_layer_states = []
     for i, (p_layer, s_layer) in enumerate(zip(params["layers"], state["layers"])):
         y, new_s, rng = conformer_layer(
-            p_layer, s_layer, x, cfg, cos, sin, rng, train, compute_dtype
+            p_layer, s_layer, x, cfg, cos, sin, rng, train, compute_dtype,
+            use_pallas,
         )
         if drop is None:
             x = y
@@ -433,6 +450,7 @@ def apply_conformer_encoder_scanned(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     compute_dtype=None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """apply_conformer_encoder with the layer loop as one lax.scan."""
     from wav2vec2forbrain_tpu.models.wav2vec2 import layerdrop_mask
@@ -448,7 +466,8 @@ def apply_conformer_encoder_scanned(
     # outputs (dots_saveable-style policy) keeps memory flat over depth.
     def layer_fn(p_layer, s_layer, h, layer_rng):
         return conformer_layer(
-            p_layer, s_layer, h, cfg, cos, sin, layer_rng, train, compute_dtype
+            p_layer, s_layer, h, cfg, cos, sin, layer_rng, train,
+            compute_dtype, use_pallas,
         )
 
     layer_fn = jax.checkpoint(

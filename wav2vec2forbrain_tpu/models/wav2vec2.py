@@ -207,6 +207,7 @@ def attention(
     dropout: float = 0.0,
     train: bool = False,
     compute_dtype=None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jax.Array]]:
     """HF Wav2Vec2Attention (Bart-style): q scaled by head_dim**-0.5."""
     b, t, h = x.shape
@@ -221,20 +222,27 @@ def attention(
         return jnp.transpose(a.reshape(b, t, num_heads, head_dim), (0, 2, 1, 3))
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd), preferred_element_type=jnp.float32
-    )
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    if train and dropout > 0.0:
-        rng, sub = jax.random.split(rng)
-        keep = jax.random.bernoulli(sub, 1.0 - dropout, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout), 0.0)
-    ctx = jnp.einsum(
-        "bhqk,bhkd->bhqd",
-        probs.astype(cd),
-        v.astype(cd),
-        preferred_element_type=jnp.float32,
-    )
+    if use_pallas:
+        from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng
+
+        # q is pre-scaled above (Bart quirk), so the kernel's scale is 1
+        ctx, rng = mha_with_rng(q, k, v, 1.0, dropout, rng, train, cd)
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        if train and dropout > 0.0:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - dropout), 0.0)
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            probs.astype(cd),
+            v.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
     ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h)
     return apply_linear(p["out_proj"], ctx, cd), rng
 
@@ -263,13 +271,14 @@ def encoder_layer(
     rng=None,
     train: bool = False,
     compute_dtype=None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jax.Array]]:
     if cfg.do_stable_layer_norm:
         residual = x
         y = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
         y, rng = attention(
             p["attention"], y, cfg.num_attention_heads, rng,
-            cfg.attention_dropout, train, compute_dtype,
+            cfg.attention_dropout, train, compute_dtype, use_pallas,
         )
         rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
         x = residual + y
@@ -282,7 +291,7 @@ def encoder_layer(
         residual = x
         y, rng = attention(
             p["attention"], x, cfg.num_attention_heads, rng,
-            cfg.attention_dropout, train, compute_dtype,
+            cfg.attention_dropout, train, compute_dtype, use_pallas,
         )
         rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
         x = residual + y
@@ -300,6 +309,7 @@ def apply_w2v_encoder(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     compute_dtype=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Full encoder. x: (B, T, H) -> (B, T, H). Train-mode LayerDrop matches
     torch semantics (see layerdrop_mask); eval never drops."""
@@ -310,7 +320,9 @@ def apply_w2v_encoder(
     rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
     drop, rng = layerdrop_mask(rng, len(params["layers"]), cfg.layerdrop, train)
     for i, layer in enumerate(params["layers"]):
-        y, rng = encoder_layer(layer, x, cfg, rng, train, compute_dtype)
+        y, rng = encoder_layer(
+            layer, x, cfg, rng, train, compute_dtype, use_pallas
+        )
         x = y if drop is None else jnp.where(drop[i], x, y)
     if cfg.do_stable_layer_norm:
         x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
@@ -344,6 +356,7 @@ def apply_w2v_encoder_scanned(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     compute_dtype=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """apply_w2v_encoder with the layer loop as one lax.scan (remat'd)."""
     pos = pos_conv_embed(params["pos_conv"], x, cfg)
@@ -355,7 +368,9 @@ def apply_w2v_encoder_scanned(
     drop, rng = layerdrop_mask(rng, num_layers, cfg.layerdrop, train)
 
     def layer_fn(p_layer, h, layer_rng):
-        h, _ = encoder_layer(p_layer, h, cfg, layer_rng, train, compute_dtype)
+        h, _ = encoder_layer(
+            p_layer, h, cfg, layer_rng, train, compute_dtype, use_pallas
+        )
         return h
 
     layer_fn = jax.checkpoint(

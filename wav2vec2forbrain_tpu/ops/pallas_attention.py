@@ -14,10 +14,13 @@ training memory.
 Forward, per grid program (one batch element, all heads looped):
     scores = (q @ k^T) * scale          f32 accumulate
     probs  = softmax(scores, -1)        f32
-    probs  = dropout(probs)             train only, on-chip PRNG
+    probs  = dropout(probs)             train only, stateless hash mask
     ctx    = probs_cd @ v               f32 accumulate
-Backward (custom VJP) recomputes scores/probs (and the identical dropout
-mask by reseeding the PRNG with the same (seed, program) pair):
+Backward (custom VJP) recomputes scores/probs — and the dropout mask, which
+is a pure function of (seed, batch, head, row, col) (a murmur3-finalizer
+hash over iotas), so fwd and bwd masks are identical by construction and
+the kernel needs no TPU PRNG state (it also runs bit-identically in
+interpret mode on CPU):
     dv = probs^T @ g
     dp = g @ v^T                        (masked/scaled through dropout)
     ds = probs * (dp - sum(dp * probs, -1))
@@ -40,12 +43,36 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _keep_mask(shape, keep_prob):
-    """Uniform [0,1) from the per-core PRNG -> keep mask (f32 0/1)."""
-    bits = pltpu.prng_random_bits(shape)
-    # 24 high bits -> uniform in [0, 1) with exact f32 representation
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+def _keep_mask(shape, keep_prob, mix):
+    """Keep mask (f32 0/1): murmur3-finalizer hash of (mix, row, col).
+
+    mix is a uint32 scalar folding in (seed, batch program, head); rows and
+    cols come from iotas, so the mask is stateless and exactly recomputable
+    in the backward pass."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = mix + r * jnp.uint32(0x9E3779B9) + c * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    # 24 high bits -> uniform in [0, 1) with exact f32 representation.
+    # Mosaic has no uint32->f32 cast; bitcast to int32 first (value < 2^24,
+    # so the reinterpretation is exact).
+    bits24 = jax.lax.bitcast_convert_type(x >> 8, jnp.int32)
+    u = bits24.astype(jnp.float32) * (1.0 / (1 << 24))
     return (u < keep_prob).astype(jnp.float32)
+
+
+def _mix(seed_ref, h):
+    """Per-(program, head) hash stream selector."""
+    b = pl.program_id(0)
+    return (
+        seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
+        + jnp.uint32(b).astype(jnp.uint32) * jnp.uint32(0x165667B1)
+        + jnp.uint32((h * 0x9E3779B9) & 0xFFFFFFFF)
+    )
 
 
 def _probs(q, k, scale, compute_dtype):
@@ -63,12 +90,11 @@ def _fwd_kernel(
     *, heads, scale, keep_prob, compute_dtype,
 ):
     """Blocks: q/k/v/o (1, heads, T, D) for one batch element."""
-    if keep_prob < 1.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     for h in range(heads):  # static unroll: 2-D matmuls only
         p = _probs(q_ref[0, h], k_ref[0, h], scale, compute_dtype)
         if keep_prob < 1.0:
-            p = p * _keep_mask(p.shape, keep_prob) * (1.0 / keep_prob)
+            mask = _keep_mask(p.shape, keep_prob, _mix(seed_ref, h))
+            p = p * mask * (1.0 / keep_prob)
         o_ref[0, h] = jax.lax.dot_general(
             p.astype(compute_dtype),
             v_ref[0, h].astype(compute_dtype),
@@ -81,9 +107,6 @@ def _bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     *, heads, scale, keep_prob, compute_dtype,
 ):
-    if keep_prob < 1.0:
-        # same (seed + program) stream as forward -> identical masks
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     cd = compute_dtype
     for h in range(heads):
         q = q_ref[0, h]
@@ -92,7 +115,10 @@ def _bwd_kernel(
         g = g_ref[0, h]
         p = _probs(q, k, scale, cd)  # pre-dropout probs, f32
         if keep_prob < 1.0:
-            mask = _keep_mask(p.shape, keep_prob) * (1.0 / keep_prob)
+            # same (seed, program, head) hash stream as forward
+            mask = _keep_mask(p.shape, keep_prob, _mix(seed_ref, h)) * (
+                1.0 / keep_prob
+            )
             pd = p * mask  # dropped probs (what fwd used for ctx)
         else:
             pd = p
@@ -122,18 +148,6 @@ def _bwd_kernel(
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-
-
-def _specs(n):
-    return [
-        pl.BlockSpec(memory_space=pltpu.SMEM)  # seed
-    ] + [
-        pl.BlockSpec(
-            (1, None, None, None), lambda b: (b, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        for _ in range(n)
-    ]
 
 
 def _call(kern, n_in, n_out, bhtd, seed, *args, interpret):
@@ -206,3 +220,19 @@ def _vjp_bwd(scale, dropout_rate, compute_dtype, res, g):
 
 
 mha_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def mha_with_rng(q, k, v, scale, dropout_rate, rng, train, compute_dtype):
+    """Model-side entry: derive the kernel's int32 seed from a jax.random key
+    (one split, like the dense path's dropout) and run mha_fused.
+
+    Returns (ctx (B,H,T,D) f32, advanced rng)."""
+    rate = dropout_rate if train else 0.0
+    if rate > 0.0:
+        rng, sub = jax.random.split(rng)
+        seed = jax.random.randint(
+            sub, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
+    else:
+        seed = jnp.zeros((), jnp.int32)
+    return mha_fused(q, k, v, seed, scale, rate, compute_dtype), rng

@@ -45,6 +45,17 @@ from wav2vec2forbrain_tpu.train.history import (
 from wav2vec2forbrain_tpu.train.steps import merge_params
 
 
+def _copy_to_host_async(*arrays):
+    """Kick off D2H transfers without blocking. The lag-1 pipeline fetches
+    these values one step later; starting the copy at dispatch time hides the
+    transfer latency (an RTT per fetch on remote-attached TPU topologies)
+    behind the next step's device compute."""
+    for a in arrays:
+        copy = getattr(a, "copy_to_host_async", None)
+        if copy is not None:
+            copy()
+
+
 def _pad_batch(batch: B2tBatch, multiple: int) -> B2tBatch:
     """Pad batch rows up to `multiple` with masked duplicates of row -1."""
     b = batch.input.shape[0]
@@ -177,6 +188,10 @@ class Trainer:
             self.rng = out.rng
             self.samples_seen += true_b
             epoch_samples += true_b
+            # start the D2H of this step's tiny outputs now, so the lag-1
+            # fetch below never pays transfer latency serially (it matters
+            # a lot on remote-attached TPUs where each fetch is an RTT)
+            _copy_to_host_async(out.loss, out.pred_ids)
             if pending is not None:
                 process(*pending)
             pending = (out, host_batch, true_b, i)
@@ -224,6 +239,9 @@ class Trainer:
             batch, true_b = self._put(host_batch)
             outs = self.eval_step(
                 self.trainable, self.frozen, self.model_state, batch
+            )
+            _copy_to_host_async(
+                *(outs if need_logits else (outs[0], outs[3]))
             )
             if pending is not None:
                 process(*pending)
