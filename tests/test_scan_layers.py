@@ -134,3 +134,31 @@ def test_grads_match():
         np.asarray(g_ref_stacked["layers_stacked"]["ffn1"]["intermediate_dense"]["kernel"]),
         atol=1e-4,
     )
+
+
+def test_remat_policies_identical_numerics():
+    """remat_policy only changes WHAT the backward saves, never values: the
+    scanned encoder's output and grads must be identical across policies."""
+    cfg, p, s, x = setup()
+    ps, ss = stack_conformer_layers(p, s)
+
+    def loss(ps, policy):
+        y, _ = apply_conformer_encoder_scanned(
+            ps, ss, x, cfg, jax.random.PRNGKey(7), True,
+            remat_policy=policy,
+        )
+        return jnp.sum(y * y)
+
+    ref_l, ref_g = jax.value_and_grad(lambda q: loss(q, "min"))(ps), None
+    for policy in ("dots", "none"):
+        l2 = jax.value_and_grad(lambda q: loss(q, policy))(ps)
+        np.testing.assert_allclose(
+            float(ref_l[0]), float(l2[0]), rtol=1e-6
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            ref_l[1],
+            l2[1],
+        )

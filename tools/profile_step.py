@@ -1,0 +1,236 @@
+"""Decompose the headline conformer fine-tune step's device time.
+
+Times (with the axon-safe scalar-fetch fence) a set of progressively smaller
+jitted programs at the bench shape so the step's cost can be attributed:
+
+  full        train step (fwd+bwd+adam, brain_encoder+w2v)
+  fwd         forward_with_loss only
+  enc_step    encoder+head+CTC fwd+bwd from fixed latents
+  bfe_step    preproc+GRU+FC fwd+bwd (latents L2 head)
+  opt         optimizer update from precomputed grads
+
+Run on the TPU: python tools/profile_step.py [--scan] [--no-pallas]
+Optionally dumps a jax.profiler trace with --trace <dir>.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def fence(x):
+    """Scalar D2H is the only reliable fence through the axon tunnel."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x)) if hasattr(x, "dtype") else float(x)
+
+
+def timeit(fn, *args, iters=10, warmup=2):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    fence(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    fence(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scan", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--trace", default=None)
+    ap.add_argument(
+        "--remat",
+        default="min",
+        choices=["min", "dots", "dots_nowide", "none"],
+    )
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=384)
+    args = ap.parse_args()
+
+    from wav2vec2forbrain_tpu.util.tpu_setup import configure_jax
+
+    configure_jax()
+    global jax
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_batch
+    from wav2vec2forbrain_tpu.models.assembly import (
+        ModelSpec,
+        forward_with_loss,
+        init_model_params,
+        param_labels,
+    )
+    from wav2vec2forbrain_tpu.models.conformer import ConformerEncoderConfig
+    from wav2vec2forbrain_tpu.ops.ctc import ctc_loss
+    from wav2vec2forbrain_tpu.train.optim import make_optimizer
+    from wav2vec2forbrain_tpu.train.steps import (
+        StepConfig,
+        build_steps,
+        partition_params,
+        prune_labels,
+    )
+
+    cfg = ConformerEncoderConfig.rope_large_960h()
+    spec = ModelSpec(
+        latent_size=1024,
+        encoder_family="conformer",
+        conformer_cfg=cfg,
+        compute_dtype=jnp.bfloat16,
+        use_pallas=not args.no_pallas,
+        scan_layers=args.scan,
+        remat_policy=args.remat,
+    )
+    b, t, u = args.batch, args.frames, 32
+    params, state = init_model_params(jax.random.PRNGKey(0), spec)
+    labels = param_labels(params, "brain_encoder+w2v")
+    trainable, frozen = partition_params(params, labels)
+    tlabels = prune_labels(labels, trainable)
+    tx = make_optimizer(tlabels)
+    opt_state = jax.jit(tx.init)(trainable)
+    train_step, _ = build_steps(spec, tlabels, tx, StepConfig(None, 0.0, 0.0))
+
+    batch = _make_batch(np.random.default_rng(0), b, t, u)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    rng = jax.random.PRNGKey(1)
+
+    # full step: buffers are donated, so carry the state like the Trainer does
+    def run_full(n, tr, osd, st, key):
+        out = None
+        for _ in range(n):
+            out = train_step(tr, frozen, osd, st, batch, key, 1e-4, 1e-5)
+            tr, osd, st, key = (
+                out.params, out.opt_state, out.model_state, out.rng
+            )
+        fence(out.loss)
+        return tr, osd, st, key
+
+    carry = run_full(3, trainable, opt_state, state, rng)
+    t0 = time.perf_counter()
+    carry = run_full(10, *carry)
+    print("full_step_ms", round((time.perf_counter() - t0) / 10 * 1000.0, 2))
+    trainable, opt_state, state, rng = carry
+    # re-init donated buffers for the sub-benchmarks below
+    params, state = init_model_params(jax.random.PRNGKey(0), spec)
+    trainable, frozen = partition_params(params, labels)
+    opt_state = jax.jit(tx.init)(trainable)
+
+    @jax.jit
+    def fwd(params, rng):
+        out = forward_with_loss(
+            params, state, spec, batch.input, batch.day_idxs,
+            batch.input_lens, batch.target, batch.target_lens, rng,
+            train=True, sample_mask=batch.sample_mask,
+        )
+        return out["loss"]
+
+    print("fwd_only_ms", round(timeit(fwd, params, rng), 2))
+
+    # encoder+head+CTC fwd+bwd from fixed latents
+    t_lat = (t - 32) // 4 + 1
+    latents = jax.random.normal(
+        jax.random.PRNGKey(2), (b, t_lat, 1024), jnp.float32
+    )
+    lat_lens = jnp.full((b,), t_lat, jnp.int32)
+    from wav2vec2forbrain_tpu.models.conformer import (
+        apply_conformer_encoder,
+        apply_conformer_encoder_scanned,
+    )
+    from wav2vec2forbrain_tpu.models.fc import apply_linear
+
+    enc_fn = (
+        apply_conformer_encoder_scanned
+        if args.scan
+        else apply_conformer_encoder
+    )
+
+    @jax.jit
+    def enc_step(w2v, rng):
+        def loss_fn(w2v):
+            hidden, _ = enc_fn(
+                w2v["encoder"], state["encoder"], latents, cfg, rng, True,
+                jnp.bfloat16, use_pallas=not args.no_pallas,
+            )
+            logits = apply_linear(w2v["lm_head"], hidden, jnp.bfloat16)
+            return ctc_loss(
+                logits.astype(jnp.float32), lat_lens, batch.target,
+                batch.target_lens,
+            )
+
+        l, g = jax.value_and_grad(loss_fn)(w2v)
+        # keep a grad leaf live or XLA dead-code-eliminates the backward
+        return l + jnp.sum(g["lm_head"]["bias"]) * 0.0
+
+    print("enc_fwd_bwd_ms", round(timeit(enc_step, params["w2v"], rng), 2))
+
+    # brain feature extractor fwd+bwd
+    from wav2vec2forbrain_tpu.models.fc import apply_fc  # noqa: F811
+    from wav2vec2forbrain_tpu.models.gru import apply_gru
+    from wav2vec2forbrain_tpu.models.preprocessing import (
+        GAUSS_KERNEL_SIZE,
+        apply_preproc,
+        gaussian_kernel,
+    )
+    from wav2vec2forbrain_tpu.ops.pallas_preproc import apply_preproc_pallas
+
+    @jax.jit
+    def bfe_step(brain, rng):
+        def loss_fn(brain):
+            if not args.no_pallas:
+                feats, _ = apply_preproc_pallas(
+                    brain["preproc"], batch.input, batch.day_idxs,
+                    batch.input_lens, spec.gaussian_smooth_width,
+                    spec.unfolder_kernel_len, spec.unfolder_stride_len,
+                )
+            else:
+                sk = gaussian_kernel(
+                    GAUSS_KERNEL_SIZE, spec.gaussian_smooth_width
+                )
+                feats, _ = apply_preproc(
+                    brain["preproc"], batch.input, batch.day_idxs,
+                    batch.input_lens, sk, spec.unfolder_kernel_len,
+                    spec.unfolder_stride_len,
+                )
+            h = apply_gru(
+                brain["gru"], feats, spec.gru_hidden_size,
+                spec.gru_num_layers, spec.gru_bidirectional, 0.0, True, rng,
+                False, compute_dtype=jnp.bfloat16,
+                use_pallas=not args.no_pallas,
+            )
+            lat = apply_fc(brain["fc"], h, spec.fc_activation, jnp.bfloat16)
+            return jnp.sum(lat * lat) * 1e-6
+
+        l, g = jax.value_and_grad(loss_fn)(brain)
+        return l + jnp.sum(g["preproc"]["day_bias"]) * 0.0
+
+    print("bfe_fwd_bwd_ms", round(timeit(bfe_step, params["brain"], rng), 2))
+
+    # optimizer alone (grads built in-jit; free the big executables first)
+    import gc
+
+    del enc_step, bfe_step, fwd
+    gc.collect()
+
+    @jax.jit
+    def opt(opt_state, trainable):
+        grads = jax.tree_util.tree_map(jnp.ones_like, trainable)
+        updates, new_opt = tx.update(grads, opt_state, trainable)
+        return jax.tree_util.tree_leaves(updates)[0]
+
+    print("opt_ms", round(timeit(opt, opt_state, trainable), 2))
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                l = full(trainable, rng)
+            fence(l)
+        print("trace written to", args.trace)
+
+
+if __name__ == "__main__":
+    main()

@@ -179,7 +179,10 @@ class BaseExperimentArgsModel(BaseModel):
     )
     use_pallas: bool = Field(
         False,
-        description="Use fused Pallas TPU kernels for the preprocessing chain",
+        description=(
+            "Use fused Pallas TPU kernels (preprocessing chain, biGRU "
+            "recurrence, multi-head attention)"
+        ),
     )
     scan_layers: Union[bool, Literal["auto"]] = Field(
         "auto",
@@ -189,6 +192,18 @@ class BaseExperimentArgsModel(BaseModel):
             "unrolled chain is faster per step once compiled). 'auto' "
             "unrolls only when the planned step count amortizes the extra "
             "compile time"
+        ),
+    )
+    remat_policy: Literal["min", "dots", "dots_nowide", "none"] = Field(
+        "min",
+        description=(
+            "Rematerialization policy for the scanned encoder layer loop: "
+            "'min' saves only non-batch matmul outputs (lowest memory), "
+            "'dots' saves every matmul output (fewest backward recomputes, "
+            "largest memory), 'dots_nowide' additionally recomputes only "
+            "the wide FFN intermediates (fits v5e HBM at the headline "
+            "batch), 'none' disables remat entirely "
+            "(scan saves all per-iteration residuals)"
         ),
     )
     checkpoint_every_n_epochs: Optional[int] = Field(

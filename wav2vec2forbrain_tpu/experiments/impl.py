@@ -264,6 +264,7 @@ class B2TGruW2VExperimentBase:
             ),
             use_pallas=cfg.use_pallas,
             scan_layers=self._resolve_scan_layers(),
+            remat_policy=cfg.remat_policy,
         )
         self._init_rng, k = jax.random.split(self._init_rng)
         params, state = init_model_params(k, self.spec)

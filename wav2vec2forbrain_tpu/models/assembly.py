@@ -83,6 +83,7 @@ class ModelSpec:
     # biGRU recurrence (ops/pallas_gru), fused attention (ops/pallas_attention)
     use_pallas: bool = False
     scan_layers: bool = False  # conformer layers as one lax.scan (fast compile)
+    remat_policy: str = "min"  # scan-body remat: min | dots | none
 
     @property
     def encoder_cfg(self):
@@ -99,6 +100,7 @@ class ModelSpec:
         compute_dtype=jnp.float32,
         use_pallas: bool = False,
         scan_layers: bool = False,
+        remat_policy: str = "min",
     ) -> "ModelSpec":
         return cls(
             unfolder_kernel_len=bfe_args.unfolder_kernel_len,
@@ -120,6 +122,7 @@ class ModelSpec:
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
             scan_layers=scan_layers,
+            remat_policy=remat_policy,
         )
 
 
@@ -257,6 +260,7 @@ def forward(
             hidden = apply_w2v_encoder_scanned(
                 params["w2v"]["encoder"], latents, spec.w2v_cfg, enc_rng,
                 train, cd, use_pallas=spec.use_pallas,
+                remat_policy=spec.remat_policy,
             )
         else:
             hidden = apply_w2v_encoder(
@@ -270,11 +274,16 @@ def forward(
     else:
         cfg = spec.conformer_cfg
         if "layers_stacked" in params["w2v"]["encoder"]:
+            import functools
+
             from wav2vec2forbrain_tpu.models.conformer import (
                 apply_conformer_encoder_scanned,
             )
 
-            enc_fn = apply_conformer_encoder_scanned
+            enc_fn = functools.partial(
+                apply_conformer_encoder_scanned,
+                remat_policy=spec.remat_policy,
+            )
         else:
             enc_fn = apply_conformer_encoder
         hidden, new_enc_state = enc_fn(

@@ -451,9 +451,13 @@ def apply_conformer_encoder_scanned(
     train: bool = False,
     compute_dtype=None,
     use_pallas: bool = False,
+    remat_policy: str = "min",
 ) -> Tuple[jnp.ndarray, dict]:
     """apply_conformer_encoder with the layer loop as one lax.scan."""
-    from wav2vec2forbrain_tpu.models.wav2vec2 import layerdrop_mask
+    from wav2vec2forbrain_tpu.models.wav2vec2 import (
+        layerdrop_mask,
+        remat_layer_fn,
+    )
 
     rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
     head = cfg.hidden_size // cfg.num_attention_heads
@@ -462,17 +466,15 @@ def apply_conformer_encoder_scanned(
     drop, rng = layerdrop_mask(rng, num_layers, cfg.layerdrop, train)
 
     # remat the layer body: under scan XLA cannot rematerialize across
-    # iterations on its own and training OOMs HBM; saving only the matmul
-    # outputs (dots_saveable-style policy) keeps memory flat over depth.
+    # iterations on its own and training OOMs HBM (policy trade-offs
+    # documented on remat_layer_fn).
     def layer_fn(p_layer, s_layer, h, layer_rng):
         return conformer_layer(
             p_layer, s_layer, h, cfg, cos, sin, layer_rng, train,
             compute_dtype, use_pallas,
         )
 
-    layer_fn = jax.checkpoint(
-        layer_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-    )
+    layer_fn = remat_layer_fn(layer_fn, remat_policy)
 
     def body(carry, layer_in):
         h, key = carry

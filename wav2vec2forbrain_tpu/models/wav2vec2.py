@@ -329,6 +329,45 @@ def apply_w2v_encoder(
     return x
 
 
+def _dots_nowide_policy(prim, *avals, **params):
+    """dots_saveable minus 'wide' matmul outputs (feature dim >= 4096).
+
+    The wide outputs are the conformer/w2v FFN up-projection intermediates —
+    the single biggest saved residual per layer ((B,T,4096) f32) and the
+    cheapest to recompute (one matmul from an input this policy DOES save).
+    Banning just those keeps the scanned backward nearly recompute-free at
+    ~half the residual memory of full dots_saveable."""
+    if prim.name != "dot_general":
+        return False
+    (_, rc), (_, rb) = params["dimension_numbers"]
+    rhs = avals[1]
+    banned = set(rc) | set(rb)
+    out_n = [
+        rhs.shape[i] for i in range(len(rhs.shape)) if i not in banned
+    ]
+    return max(out_n, default=0) < 4096
+
+
+def remat_layer_fn(fn, policy_name: str):
+    """Wrap a scan-body layer fn in jax.checkpoint per the configured policy.
+
+    Under scan, XLA cannot rematerialize across iterations on its own and
+    training OOMs HBM without remat. 'min' (dots_with_no_batch_dims_saveable)
+    always fits; 'dots' keeps every matmul output (fewest backward
+    recomputes, ~60M over v5e HBM at the headline batch even with the Pallas
+    attention kernel's savings); 'dots_nowide' is 'dots' minus the (B,T,4096)
+    FFN intermediates — the measured sweet spot; 'none' disables remat (scan
+    saves all per-iteration residuals — small configs only)."""
+    if policy_name == "none":
+        return fn
+    policy = {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_nowide": _dots_nowide_policy,
+        "min": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }[policy_name]
+    return jax.checkpoint(fn, policy=policy)
+
+
 def stack_w2v_layers(params: dict) -> dict:
     """Per-layer lists -> stacked arrays (scan-over-layers; see conformer)."""
     stacked = jax.tree_util.tree_map(
@@ -357,6 +396,7 @@ def apply_w2v_encoder_scanned(
     train: bool = False,
     compute_dtype=None,
     use_pallas: bool = False,
+    remat_policy: str = "min",
 ) -> jnp.ndarray:
     """apply_w2v_encoder with the layer loop as one lax.scan (remat'd)."""
     pos = pos_conv_embed(params["pos_conv"], x, cfg)
@@ -373,9 +413,7 @@ def apply_w2v_encoder_scanned(
         )
         return h
 
-    layer_fn = jax.checkpoint(
-        layer_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-    )
+    layer_fn = remat_layer_fn(layer_fn, remat_policy)
 
     def body(carry, xs):
         h, key = carry
