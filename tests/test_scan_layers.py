@@ -149,15 +149,17 @@ def test_remat_policies_identical_numerics():
         )
         return jnp.sum(y * y)
 
-    ref_l, ref_g = jax.value_and_grad(lambda q: loss(q, "min"))(ps), None
-    for policy in ("dots", "none"):
+    # NB: remat changes what the backward recomputes, which can change XLA
+    # fusion/accumulation order — closeness, not bit-equality, is the contract
+    ref_l = jax.value_and_grad(lambda q: loss(q, "min"))(ps)
+    for policy in ("dots", "dots_nowide", "none"):
         l2 = jax.value_and_grad(lambda q: loss(q, policy))(ps)
         np.testing.assert_allclose(
-            float(ref_l[0]), float(l2[0]), rtol=1e-6
+            float(ref_l[0]), float(l2[0]), rtol=1e-5
         )
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-5
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
             ),
             ref_l[1],
             l2[1],

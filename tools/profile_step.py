@@ -163,8 +163,8 @@ def main():
             )
 
         l, g = jax.value_and_grad(loss_fn)(w2v)
-        # keep a grad leaf live or XLA dead-code-eliminates the backward
-        return l + jnp.sum(g["lm_head"]["bias"]) * 0.0
+        # return a grad reduction too or XLA dead-code-eliminates the backward
+        return l + jnp.sum(g["lm_head"]["bias"])
 
     print("enc_fwd_bwd_ms", round(timeit(enc_step, params["w2v"], rng), 2))
 
@@ -206,9 +206,59 @@ def main():
             return jnp.sum(lat * lat) * 1e-6
 
         l, g = jax.value_and_grad(loss_fn)(brain)
-        return l + jnp.sum(g["preproc"]["day_bias"]) * 0.0
+        return l + jnp.sum(g["preproc"]["day_bias"])
 
     print("bfe_fwd_bwd_ms", round(timeit(bfe_step, params["brain"], rng), 2))
+
+    # per-block fwd+bwd at the encoder shape, x24 layers (conformer only):
+    # where does encoder time go?
+    from wav2vec2forbrain_tpu.models.conformer import (
+        conformer_conv_module,
+        conformer_feed_forward,
+        conformer_self_attention,
+        init_conformer_layer_params,
+        init_conformer_state,
+        rotary_cos_sin,
+    )
+
+    lp = init_conformer_layer_params(jax.random.PRNGKey(3), cfg)
+    ls = init_conformer_state(cfg)["layers"][0]
+    xblk = latents.astype(jnp.float32)
+    head = cfg.hidden_size // cfg.num_attention_heads
+    cos, sin = rotary_cos_sin(t_lat, head, cfg.rotary_embedding_base)
+    n_layers = cfg.num_hidden_layers
+
+    def reps(fn):
+        @jax.jit
+        def run(p, x, key):
+            def loss(p):
+                h = x
+                for i in range(n_layers):
+                    h = fn(p, h, key)
+                return jnp.sum(h * h)
+
+            l, g = jax.value_and_grad(loss)(p)
+            return l + jnp.sum(jax.tree_util.tree_leaves(g)[0])
+
+        return run
+
+    blocks = {
+        "ffn_x24": lambda p, h, key: conformer_feed_forward(
+            p["ffn1"], h, cfg, key, True, jnp.bfloat16
+        )[0],
+        "attn_x24": lambda p, h, key: conformer_self_attention(
+            p["self_attn"], h, cfg, cos, sin, key, True, jnp.bfloat16,
+            use_pallas=not args.no_pallas,
+        )[0],
+        "conv_x24": lambda p, h, key: conformer_conv_module(
+            p["conv_module"], ls, h, cfg, key, True, jnp.bfloat16
+        )[0],
+    }
+    for name, fn in blocks.items():
+        print(
+            name + "_fwd_bwd_ms",
+            round(timeit(reps(fn), lp, xblk, rng), 2),
+        )
 
     # optimizer alone (grads built in-jit; free the big executables first)
     import gc

@@ -194,6 +194,13 @@ class BaseExperimentArgsModel(BaseModel):
             "compile time"
         ),
     )
+    host_prefetch: bool = Field(
+        True,
+        description=(
+            "Collate/pad/device_put batches one step ahead on a worker "
+            "thread so H2D transfers overlap device compute"
+        ),
+    )
     remat_policy: Literal["min", "dots", "dots_nowide", "none"] = Field(
         "min",
         description=(

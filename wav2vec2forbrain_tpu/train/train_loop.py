@@ -45,6 +45,60 @@ from wav2vec2forbrain_tpu.train.history import (
 from wav2vec2forbrain_tpu.train.steps import merge_params
 
 
+class _HostPrefetcher:
+    """Collate + pad + device_put batches one step ahead on a worker thread.
+
+    The H2D transfer of a (B, T, 256) f32 batch is the largest host-side
+    per-step cost (≈13 MB at the headline shape — an RTT-bound synchronous
+    copy on remote-attached TPUs). Staging the NEXT batch's transfer while
+    the device runs the CURRENT step takes it off the critical path. Depth 2
+    bounds device-memory overhead to one extra batch."""
+
+    _DONE = object()
+
+    def __init__(self, loader, put_fn):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=2)
+        self._err = None
+
+        def worker():
+            try:
+                for host_batch in loader:
+                    self._q.put((put_fn(host_batch), host_batch))
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                if self._err is not None:
+                    raise self._err
+                return
+            (batch, true_b), host_batch = item
+            yield batch, true_b, host_batch
+
+
+def _batch_stream(loader, put_fn, prefetch: bool):
+    """Either the threaded prefetcher or a plain inline loop."""
+    if prefetch:
+        return _HostPrefetcher(loader, put_fn)
+
+    def inline():
+        for host_batch in loader:
+            batch, true_b = put_fn(host_batch)
+            yield batch, true_b, host_batch
+
+    return inline()
+
+
 def _copy_to_host_async(*arrays):
     """Kick off D2H transfers without blocking. The lag-1 pipeline fetches
     these values one step later; starting the copy at dispatch time hides the
@@ -170,8 +224,10 @@ class Trainer:
             ):
                 self._log_intermediate(i, n, evaluator)
 
-        for i, host_batch in enumerate(data_loader):
-            batch, true_b = self._put(host_batch)
+        stream = _batch_stream(
+            data_loader, self._put, getattr(self.config, "host_prefetch", True)
+        )
+        for i, (batch, true_b, host_batch) in enumerate(stream):
             out = self.train_step(
                 self.trainable,
                 self.frozen,
@@ -235,8 +291,10 @@ class Trainer:
 
         # lag-1 pipeline: host decode (incl. LM beam search on test) overlaps
         # the next batch's device eval
-        for i, host_batch in enumerate(dataloader):
-            batch, true_b = self._put(host_batch)
+        stream = _batch_stream(
+            dataloader, self._put, getattr(self.config, "host_prefetch", True)
+        )
+        for i, (batch, true_b, host_batch) in enumerate(stream):
             outs = self.eval_step(
                 self.trainable, self.frozen, self.model_state, batch
             )
