@@ -135,8 +135,13 @@ def bench_e2e_trainer(on_accel):
     try:
         if on_accel:
             gen = dict(
-                session_names=sessionNames[:8],
-                n_trials=60,  # 5 blocks: 12 go to the test split per session
+                # Real T12 sessions carry ~375 train sentences each, so a
+                # day's batches are nearly all full (~97% batch efficiency
+                # under the never-mix-days sampler). 4 x 240 train trials
+                # reproduces that regime (94%); few sessions with many
+                # trials, not many sessions with pathological 16-row tails.
+                session_names=sessionNames[:4],
+                n_trials=300,  # 5 blocks: 60 go to the test split per session
                 n_blocks=5,
                 test_dir_n_trials=8,
                 min_frames=280,
@@ -153,6 +158,10 @@ def bench_e2e_trainer(on_accel):
                 # frames OOMs HBM at bs 32 on v5e)
                 pad_to_multiple=384,
                 target_pad_to_multiple=64,
+                # wire the 13 MB/step feature transfer as f16: H2D
+                # serializes with compute through the remote tunnel
+                # (tools/profile_pipeline.py: +95 ms/step at f32)
+                h2d_dtype="float16",
                 # NB: remat_policy=dots_nowide is faster on the isolated
                 # step (185 vs 216 ms) but SLOWER end-to-end here (55 vs
                 # 77 samples/s): its extra residual memory next to the

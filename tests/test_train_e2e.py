@@ -329,3 +329,26 @@ def test_pallas_under_dp_mesh_e2e(tmp_path, synthetic_splits_dir, tiny_encoders)
         ) as f:
             losses[use_pallas] = json.load(f)["average"]["loss"]
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-5)
+
+
+def test_h2d_dtype_float16_close_to_float32(
+    tmp_path, synthetic_splits_dir, tiny_encoders
+):
+    """--h2d_dtype=float16 transfers the features half-width and upcasts on
+    device; training must stay numerically close to the f32 wire (the inputs
+    are z-scored, so f16 keeps ~3 decimal digits)."""
+    losses = {}
+    for wire in ("float32", "float16"):
+        yaml_cfg = tiny_yaml_config(tmp_path / wire, synthetic_splits_dir)
+        exp = impl.B2TGruAndW2VExperiment(
+            base_config(h2d_dtype=wire, epochs=1, return_best_model=False),
+            yaml_cfg,
+        )
+        exp.run()
+        with open(os.path.join(exp.results_dir, "history.json")) as f:
+            hist = json.load(f)
+        losses[wire] = hist["test"]["average"]["loss"]
+    assert np.isfinite(losses["float16"])
+    assert abs(losses["float16"] - losses["float32"]) < 0.05 * (
+        1.0 + abs(losses["float32"])
+    )

@@ -201,6 +201,16 @@ class BaseExperimentArgsModel(BaseModel):
             "thread so H2D transfers overlap device compute"
         ),
     )
+    h2d_dtype: Literal["float32", "float16", "bfloat16"] = Field(
+        "float32",
+        description=(
+            "Wire dtype for the neural-feature H2D transfer; the device "
+            "upcasts to float32 before the (float32) preprocessing chain. "
+            "Halving transfer bytes matters on remote-attached TPUs where "
+            "H2D serializes with compute; float16 keeps ~3 decimal digits "
+            "of the z-scored features. float32 = exact reference numerics"
+        ),
+    )
     remat_policy: Literal["min", "dots", "dots_nowide", "none"] = Field(
         "min",
         description=(

@@ -205,6 +205,9 @@ def forward(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Batch (B, T, 256) -> (logits (B, T', vocab), logit_lens (B,), new_state)."""
     cd = spec.compute_dtype
+    # inputs may arrive in a half-precision wire format (--h2d_dtype); the
+    # preprocessing chain itself is always float32
+    x = x.astype(jnp.float32)
     if spec.use_pallas:
         from wav2vec2forbrain_tpu.ops.pallas_preproc import apply_preproc_pallas
 

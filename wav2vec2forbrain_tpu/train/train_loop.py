@@ -187,6 +187,13 @@ class Trainer:
         target = max(self.config.batch_size, true_b)
         full = ((target + self.data_axis - 1) // self.data_axis) * self.data_axis
         batch = _pad_batch(batch, full)
+        wire = getattr(self.config, "h2d_dtype", "float32")
+        if wire != "float32":
+            # halve the neural-feature transfer; forward() upcasts to f32
+            import ml_dtypes
+
+            dt = np.float16 if wire == "float16" else ml_dtypes.bfloat16
+            batch = batch._replace(input=batch.input.astype(dt))
         if self.batch_sharding is not None:
             batch = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, self.batch_sharding), batch
