@@ -176,7 +176,9 @@ def mha_fused(q, k, v, seed, scale, dropout_rate, compute_dtype):
 
     seed: int32 scalar array; used only when dropout_rate > 0 (train mode).
     Pass dropout_rate=0.0 for eval."""
-    return _fwd_impl(q, k, v, seed, scale, dropout_rate, compute_dtype)
+    return _fwd_partitioned(scale, dropout_rate, compute_dtype)(
+        q, k, v, seed.reshape(1).astype(jnp.int32)
+    )
 
 
 def _fwd_impl(q, k, v, seed, scale, dropout_rate, compute_dtype):
@@ -189,19 +191,11 @@ def _fwd_impl(q, k, v, seed, scale, dropout_rate, compute_dtype):
         compute_dtype=compute_dtype,
     )
     return _call(
-        kern, 3, 1, (b, h, t, d),
-        seed.reshape(1).astype(jnp.int32), q, k, v,
-        interpret=_interpret(),
+        kern, 3, 1, (b, h, t, d), seed, q, k, v, interpret=_interpret()
     )
 
 
-def _vjp_fwd(q, k, v, seed, scale, dropout_rate, compute_dtype):
-    o = _fwd_impl(q, k, v, seed, scale, dropout_rate, compute_dtype)
-    return o, (q, k, v, seed)
-
-
-def _vjp_bwd(scale, dropout_rate, compute_dtype, res, g):
-    q, k, v, seed = res
+def _bwd_impl(q, k, v, g, seed, scale, dropout_rate, compute_dtype):
     b, h, t, d = q.shape
     kern = functools.partial(
         _bwd_kernel,
@@ -210,11 +204,61 @@ def _vjp_bwd(scale, dropout_rate, compute_dtype, res, g):
         keep_prob=1.0 - dropout_rate,
         compute_dtype=compute_dtype,
     )
-    dq, dk, dv = _call(
-        kern, 4, 3, (b, h, t, d),
-        seed.reshape(1).astype(jnp.int32), q, k, v,
-        g.astype(jnp.float32),
-        interpret=_interpret(),
+    return _call(
+        kern, 4, 3, (b, h, t, d), seed, q, k, v, g, interpret=_interpret()
+    )
+
+
+# GSPMD would all-gather sharded operands around the opaque pallas calls and
+# run them replicated; declare the (batch, head)-parallel partitioning so dp
+# and head-tp meshes run the kernels shard-local with no collectives
+# (parallel/kernel_partition.py). One wrapper per static config, cached so
+# jit retracing sees a stable callable.
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(scale, dropout_rate, compute_dtype):
+    from wav2vec2forbrain_tpu.parallel.kernel_partition import (
+        partition_batched,
+    )
+
+    def impl(q, k, v, seed):
+        return _fwd_impl(q, k, v, seed, scale, dropout_rate, compute_dtype)
+
+    return partition_batched(
+        impl,
+        arg_ndims=(4, 4, 4, 1),
+        out_ndims=(4,),
+        shardable_dims=(0, 1),
+        replicated_argnums=(3,),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(scale, dropout_rate, compute_dtype):
+    from wav2vec2forbrain_tpu.parallel.kernel_partition import (
+        partition_batched,
+    )
+
+    def impl(q, k, v, g, seed):
+        return _bwd_impl(q, k, v, g, seed, scale, dropout_rate, compute_dtype)
+
+    return partition_batched(
+        impl,
+        arg_ndims=(4, 4, 4, 4, 1),
+        out_ndims=(4, 4, 4),
+        shardable_dims=(0, 1),
+        replicated_argnums=(4,),
+    )
+
+
+def _vjp_fwd(q, k, v, seed, scale, dropout_rate, compute_dtype):
+    o = mha_fused(q, k, v, seed, scale, dropout_rate, compute_dtype)
+    return o, (q, k, v, seed)
+
+
+def _vjp_bwd(scale, dropout_rate, compute_dtype, res, g):
+    q, k, v, seed = res
+    dq, dk, dv = _bwd_partitioned(scale, dropout_rate, compute_dtype)(
+        q, k, v, g.astype(jnp.float32), seed.reshape(1).astype(jnp.int32)
     )
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 

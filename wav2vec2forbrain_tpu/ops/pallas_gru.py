@@ -238,7 +238,49 @@ def _bwd_kernel(
 def gru_recurrence(gi, w_hh, b_hh, h0, compute_dtype=jnp.float32):
     """gi: (T, 2, B, 3H) f32; w_hh: (2, H, 3H); b_hh: (2, 1, 3H);
     h0: (2, B, H) f32 -> ys (T, 2, B, H) f32."""
-    return _fwd_impl(gi, w_hh, b_hh, h0, compute_dtype)
+    return _fwd_partitioned(compute_dtype)(gi, w_hh, b_hh, h0)
+
+
+# The recurrence is batch-parallel (weights replicated, batch on gi dim 2 /
+# h0 dim 1); declare that to GSPMD/Shardy so dp-sharded batches run the
+# kernel shard-local instead of being all-gathered around the opaque custom
+# call. Weight grads are batch-summed inside the kernel, so the partitioned
+# backward psums them over the batch mesh axes.
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(compute_dtype):
+    from wav2vec2forbrain_tpu.parallel.kernel_partition import (
+        partition_kernel,
+    )
+
+    def impl(gi, w_hh, b_hh, h0):
+        return _fwd_impl(gi, w_hh, b_hh, h0, compute_dtype)
+
+    return partition_kernel(
+        impl,
+        arg_factors=[{0: 2}, None, None, {0: 1}],
+        arg_ndims=(4, 3, 3, 3),
+        out_factors=[{0: 2}],
+        out_ndims=(4,),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(compute_dtype):
+    from wav2vec2forbrain_tpu.parallel.kernel_partition import (
+        partition_kernel,
+    )
+
+    def impl(gi, w_hh, b_hh, h0, ys, g):
+        return _bwd_impl(gi, w_hh, b_hh, h0, ys, g, compute_dtype)
+
+    return partition_kernel(
+        impl,
+        arg_factors=[{0: 2}, None, None, {0: 1}, {0: 2}, {0: 2}],
+        arg_ndims=(4, 3, 3, 3, 4, 4),
+        out_factors=[{0: 2}, None, None, {0: 1}],
+        out_ndims=(4, 3, 3, 3),
+        reduce_outputs=(1, 2),
+    )
 
 
 def _fwd_impl(gi, w_hh, b_hh, h0, compute_dtype):
@@ -269,6 +311,13 @@ def _vjp_fwd(gi, w_hh, b_hh, h0, compute_dtype):
 
 def _vjp_bwd(compute_dtype, residuals, g):
     gi, w_hh, b_hh, h0, ys = residuals
+    dgi, dw, db, dh0 = _bwd_partitioned(compute_dtype)(
+        gi, w_hh, b_hh, h0, ys, g
+    )
+    return dgi, dw, db.reshape(b_hh.shape), dh0
+
+
+def _bwd_impl(gi, w_hh, b_hh, h0, ys, g, compute_dtype):
     t_len = gi.shape[0]
     d, b_sz, h3 = gi.shape[1], gi.shape[2], gi.shape[3]
     h_sz = h3 // 3
@@ -306,7 +355,7 @@ def _vjp_bwd(compute_dtype, residuals, g):
         ys,
         g.astype(jnp.float32),
     )
-    return dgi, dw, db.reshape(b_hh.shape), dh0
+    return dgi, dw, db, dh0
 
 
 gru_recurrence.defvjp(_vjp_fwd, _vjp_bwd)

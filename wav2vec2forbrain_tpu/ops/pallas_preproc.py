@@ -229,7 +229,55 @@ def fused_preproc(
     stride: int = 4,
 ) -> jnp.ndarray:
     """x (B,T,256) -> features (B, T', 256*kernel_len)."""
-    return _fused_fwd_impl(x, day_weights, day_bias, day_idxs, sigma, kernel_len, stride)
+    return _fwd_partitioned(sigma, kernel_len, stride)(
+        x, day_weights, day_bias, day_idxs
+    )
+
+
+# Batch-parallel partitioning declaration (parallel/kernel_partition.py):
+# GSPMD would otherwise all-gather dp-sharded batches around the opaque
+# pallas calls. x/day_idxs/g and every kernel output carry the batch on dim
+# 0; the day tables are replicated, and the cross-batch day reduction
+# (segment_sum) runs OUTSIDE the kernel in plain XLA, which GSPMD already
+# partitions natively.
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(sigma, kernel_len, stride):
+    from wav2vec2forbrain_tpu.parallel.kernel_partition import (
+        partition_batched,
+    )
+
+    def impl(x, day_weights, day_bias, day_idxs):
+        return _fused_fwd_impl(
+            x, day_weights, day_bias, day_idxs, sigma, kernel_len, stride
+        )
+
+    return partition_batched(
+        impl,
+        arg_ndims=(3, 3, 3, 1),
+        out_ndims=(3,),
+        shardable_dims=(0,),
+        replicated_argnums=(1, 2),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(sigma, kernel_len, stride):
+    from wav2vec2forbrain_tpu.parallel.kernel_partition import (
+        partition_batched,
+    )
+
+    def impl(x, day_weights, day_bias, day_idxs, g):
+        return _fused_bwd_impl(
+            x, day_weights, day_bias, day_idxs, g, sigma, kernel_len, stride
+        )
+
+    return partition_batched(
+        impl,
+        arg_ndims=(3, 3, 3, 1, 3),
+        out_ndims=(3, 3, 3),
+        shardable_dims=(0,),
+        replicated_argnums=(1, 2),
+    )
 
 
 def _fused_fwd_impl(x, day_weights, day_bias, day_idxs, sigma, kernel_len, stride):
@@ -279,6 +327,16 @@ def _fused_fwd(x, day_weights, day_bias, day_idxs, sigma, kernel_len, stride):
 
 def _fused_bwd(sigma, kernel_len, stride, residuals, g):
     x, day_weights, day_bias, day_idxs = residuals
+    dx, dw_contrib, db_contrib = _bwd_partitioned(sigma, kernel_len, stride)(
+        x, day_weights, day_bias, day_idxs, g
+    )
+    n_days = day_weights.shape[0]
+    dw = jax.ops.segment_sum(dw_contrib, day_idxs, num_segments=n_days)
+    db = jax.ops.segment_sum(db_contrib, day_idxs, num_segments=n_days)
+    return dx, dw, db, None
+
+
+def _fused_bwd_impl(x, day_weights, day_bias, day_idxs, g, sigma, kernel_len, stride):
     b, t_len, c = x.shape
     t_out = (t_len - kernel_len) // stride + 1
     taps = tuple(float(v) for v in _gauss_taps(sigma))
@@ -333,11 +391,7 @@ def _fused_bwd(sigma, kernel_len, stride, residuals, g):
         ],
         interpret=_interpret(),
     )(day_idxs, x.astype(jnp.float32), day_weights, day_bias, g.astype(jnp.float32))
-
-    n_days = day_weights.shape[0]
-    dw = jax.ops.segment_sum(dw_contrib, day_idxs, num_segments=n_days)
-    db = jax.ops.segment_sum(db_contrib, day_idxs, num_segments=n_days)
-    return dx, dw, db, None
+    return dx, dw_contrib, db_contrib
 
 
 fused_preproc.defvjp(_fused_fwd, _fused_bwd)
