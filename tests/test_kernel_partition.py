@@ -107,3 +107,23 @@ def test_preproc_partitions_without_allgather(mesh):
     )
     for a, b in zip(gr(x, dw0, db0, dsh, gsh), gref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_attention_dropout_masks_sharding_invariant(mesh):
+    """The dropout hash keys on GLOBAL (row, head) ids carried by index
+    vectors that shard with q — so masks are identical whether the batch is
+    on one device or dp/tp-sharded (and therefore never repeat across
+    shards, which the old program_id-keyed stream did)."""
+    B, H, T, D = 8, 4, 32, 16
+    q0, k0, v0 = (
+        jax.random.normal(jax.random.PRNGKey(i), (B, H, T, D), jnp.float32)
+        for i in range(3)
+    )
+    seed = jnp.asarray(1234, jnp.int32)
+    ref = mha_fused(q0, k0, v0, seed, 0.125, 0.3, jnp.float32)
+    sh = NamedSharding(mesh, P("data", "model", None, None))
+    q, k, v = (jax.device_put(a, sh) for a in (q0, k0, v0))
+    out = jax.jit(
+        lambda q, k, v: mha_fused(q, k, v, seed, 0.125, 0.3, jnp.float32)
+    )(q, k, v)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -275,10 +275,9 @@ def main():
     print("opt_ms", round(timeit(opt, opt_state, trainable), 2))
 
     if args.trace:
+        carry = run_full(1, trainable, opt_state, state, rng)
         with jax.profiler.trace(args.trace):
-            for _ in range(3):
-                l = full(trainable, rng)
-            fence(l)
+            run_full(3, *carry)
         print("trace written to", args.trace)
 
 

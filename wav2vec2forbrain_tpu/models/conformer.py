@@ -474,7 +474,7 @@ def apply_conformer_encoder_scanned(
             compute_dtype, use_pallas,
         )
 
-    layer_fn = remat_layer_fn(layer_fn, remat_policy)
+    layer_fn = remat_layer_fn(layer_fn, remat_policy, cfg.intermediate_size)
 
     def body(carry, layer_in):
         h, key = carry

@@ -329,40 +329,45 @@ def apply_w2v_encoder(
     return x
 
 
-def _dots_nowide_policy(prim, *avals, **params):
-    """dots_saveable minus 'wide' matmul outputs (feature dim >= 4096).
+def _dots_nowide_policy(wide_dim: int):
+    """dots_saveable minus 'wide' matmul outputs (feature dim >= wide_dim).
 
-    The wide outputs are the conformer/w2v FFN up-projection intermediates —
+    wide_dim is the encoder's FFN intermediate size, so the banned outputs
+    are exactly the conformer/w2v FFN up-projection intermediates —
     the single biggest saved residual per layer ((B,T,4096) f32) and the
     cheapest to recompute (one matmul from an input this policy DOES save).
     Banning just those keeps the scanned backward nearly recompute-free at
     ~half the residual memory of full dots_saveable."""
-    if prim.name != "dot_general":
-        return False
-    (_, rc), (_, rb) = params["dimension_numbers"]
-    rhs = avals[1]
-    banned = set(rc) | set(rb)
-    out_n = [
-        rhs.shape[i] for i in range(len(rhs.shape)) if i not in banned
-    ]
-    return max(out_n, default=0) < 4096
+    def policy(prim, *avals, **params):
+        if prim.name != "dot_general":
+            return False
+        (_, rc), (_, rb) = params["dimension_numbers"]
+        rhs = avals[1]
+        banned = set(rc) | set(rb)
+        out_n = [
+            rhs.shape[i] for i in range(len(rhs.shape)) if i not in banned
+        ]
+        return max(out_n, default=0) < wide_dim
+
+    return policy
 
 
-def remat_layer_fn(fn, policy_name: str):
+def remat_layer_fn(fn, policy_name: str, wide_dim: int = 4096):
     """Wrap a scan-body layer fn in jax.checkpoint per the configured policy.
 
     Under scan, XLA cannot rematerialize across iterations on its own and
     training OOMs HBM without remat. 'min' (dots_with_no_batch_dims_saveable)
     always fits; 'dots' keeps every matmul output (fewest backward
     recomputes, ~60M over v5e HBM at the headline batch even with the Pallas
-    attention kernel's savings); 'dots_nowide' is 'dots' minus the (B,T,4096)
-    FFN intermediates — the measured sweet spot; 'none' disables remat (scan
+    attention kernel's savings); 'dots_nowide' is 'dots' minus the (B,T,wide_dim)
+    FFN intermediates (wide_dim = the config's intermediate_size) — the
+    measured sweet spot; 'none' disables remat (scan
     saves all per-iteration residuals — small configs only)."""
     if policy_name == "none":
         return fn
     policy = {
         "dots": jax.checkpoint_policies.dots_saveable,
-        "dots_nowide": _dots_nowide_policy,
+        "dots_nowide": _dots_nowide_policy(wide_dim),
         "min": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
     }[policy_name]
     return jax.checkpoint(fn, policy=policy)
@@ -413,7 +418,7 @@ def apply_w2v_encoder_scanned(
         )
         return h
 
-    layer_fn = remat_layer_fn(layer_fn, remat_policy)
+    layer_fn = remat_layer_fn(layer_fn, remat_policy, cfg.intermediate_size)
 
     def body(carry, xs):
         h, key = carry

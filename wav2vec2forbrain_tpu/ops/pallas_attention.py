@@ -65,13 +65,18 @@ def _keep_mask(shape, keep_prob, mix):
     return (u < keep_prob).astype(jnp.float32)
 
 
-def _mix(seed_ref, h):
-    """Per-(program, head) hash stream selector."""
-    b = pl.program_id(0)
+def _mix(seed_ref, rows_ref, heads_ref, h):
+    """Per-(GLOBAL batch row, GLOBAL head) hash stream selector.
+
+    rows/heads carry global indices (they shard along with q), so dropout
+    masks are identical whether the batch runs on one chip or dp/tp-sharded
+    across a mesh — and never repeat across shards."""
+    row = rows_ref[pl.program_id(0)].astype(jnp.uint32)
+    head = heads_ref[h].astype(jnp.uint32)
     return (
         seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
-        + jnp.uint32(b).astype(jnp.uint32) * jnp.uint32(0x165667B1)
-        + jnp.uint32((h * 0x9E3779B9) & 0xFFFFFFFF)
+        + row * jnp.uint32(0x165667B1)
+        + head * jnp.uint32(0x9E3779B9 & 0xFFFFFFFF)
     )
 
 
@@ -86,15 +91,15 @@ def _probs(q, k, scale, compute_dtype):
 
 
 def _fwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, o_ref,
+    seed_ref, rows_ref, heads_ref, q_ref, k_ref, v_ref, o_ref,
     *, heads, scale, keep_prob, compute_dtype,
 ):
     """Blocks: q/k/v/o (1, heads, T, D) for one batch element."""
     for h in range(heads):  # static unroll: 2-D matmuls only
         p = _probs(q_ref[0, h], k_ref[0, h], scale, compute_dtype)
         if keep_prob < 1.0:
-            mask = _keep_mask(p.shape, keep_prob, _mix(seed_ref, h))
-            p = p * mask * (1.0 / keep_prob)
+            mix = _mix(seed_ref, rows_ref, heads_ref, h)
+            p = p * _keep_mask(p.shape, keep_prob, mix) * (1.0 / keep_prob)
         o_ref[0, h] = jax.lax.dot_general(
             p.astype(compute_dtype),
             v_ref[0, h].astype(compute_dtype),
@@ -104,7 +109,8 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    seed_ref, rows_ref, heads_ref, q_ref, k_ref, v_ref, g_ref,
+    dq_ref, dk_ref, dv_ref,
     *, heads, scale, keep_prob, compute_dtype,
 ):
     cd = compute_dtype
@@ -115,10 +121,9 @@ def _bwd_kernel(
         g = g_ref[0, h]
         p = _probs(q, k, scale, cd)  # pre-dropout probs, f32
         if keep_prob < 1.0:
-            # same (seed, program, head) hash stream as forward
-            mask = _keep_mask(p.shape, keep_prob, _mix(seed_ref, h)) * (
-                1.0 / keep_prob
-            )
+            # same (seed, global row, global head) hash stream as forward
+            mix = _mix(seed_ref, rows_ref, heads_ref, h)
+            mask = _keep_mask(p.shape, keep_prob, mix) * (1.0 / keep_prob)
             pd = p * mask  # dropped probs (what fwd used for ctx)
         else:
             pd = p
@@ -150,7 +155,7 @@ def _bwd_kernel(
         ) * scale
 
 
-def _call(kern, n_in, n_out, bhtd, seed, *args, interpret):
+def _call(kern, n_in, n_out, bhtd, seed, rows, heads, *args, interpret):
     b, h, t, d = bhtd
     block = pl.BlockSpec(
         (1, h, t, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
@@ -160,14 +165,15 @@ def _call(kern, n_in, n_out, bhtd, seed, *args, interpret):
     if n_out == 1:
         out_shape = out_shape[0]
         out_specs = out_specs[0]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kern,
         grid=(b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [block] * n_in,
+        in_specs=[smem, smem, smem] + [block] * n_in,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(seed, *args)
+    )(seed, rows, heads, *args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -177,11 +183,21 @@ def mha_fused(q, k, v, seed, scale, dropout_rate, compute_dtype):
     seed: int32 scalar array; used only when dropout_rate > 0 (train mode).
     Pass dropout_rate=0.0 for eval."""
     return _fwd_partitioned(scale, dropout_rate, compute_dtype)(
-        q, k, v, seed.reshape(1).astype(jnp.int32)
+        q, k, v, seed.reshape(1).astype(jnp.int32), *_ids(q)
     )
 
 
-def _fwd_impl(q, k, v, seed, scale, dropout_rate, compute_dtype):
+def _ids(q):
+    """Global (row, head) index vectors — sharded along with q, they give
+    the kernel global coordinates for the dropout hash regardless of mesh
+    layout (masks are identical sharded or unsharded)."""
+    return (
+        jnp.arange(q.shape[0], dtype=jnp.int32),
+        jnp.arange(q.shape[1], dtype=jnp.int32),
+    )
+
+
+def _fwd_impl(q, k, v, seed, rows, heads, scale, dropout_rate, compute_dtype):
     b, h, t, d = q.shape
     kern = functools.partial(
         _fwd_kernel,
@@ -191,11 +207,12 @@ def _fwd_impl(q, k, v, seed, scale, dropout_rate, compute_dtype):
         compute_dtype=compute_dtype,
     )
     return _call(
-        kern, 3, 1, (b, h, t, d), seed, q, k, v, interpret=_interpret()
+        kern, 3, 1, (b, h, t, d), seed, rows, heads, q, k, v,
+        interpret=_interpret(),
     )
 
 
-def _bwd_impl(q, k, v, g, seed, scale, dropout_rate, compute_dtype):
+def _bwd_impl(q, k, v, g, seed, rows, heads, scale, dropout_rate, compute_dtype):
     b, h, t, d = q.shape
     kern = functools.partial(
         _bwd_kernel,
@@ -205,7 +222,8 @@ def _bwd_impl(q, k, v, g, seed, scale, dropout_rate, compute_dtype):
         compute_dtype=compute_dtype,
     )
     return _call(
-        kern, 4, 3, (b, h, t, d), seed, q, k, v, g, interpret=_interpret()
+        kern, 4, 3, (b, h, t, d), seed, rows, heads, q, k, v, g,
+        interpret=_interpret(),
     )
 
 
@@ -213,40 +231,49 @@ def _bwd_impl(q, k, v, g, seed, scale, dropout_rate, compute_dtype):
 # run them replicated; declare the (batch, head)-parallel partitioning so dp
 # and head-tp meshes run the kernels shard-local with no collectives
 # (parallel/kernel_partition.py). One wrapper per static config, cached so
-# jit retracing sees a stable callable.
+# jit retracing sees a stable callable. Factor 0 = batch, factor 1 = heads;
+# the rows/heads index vectors shard with their factor so the kernel sees
+# global coordinates.
+_QKV = {0: 0, 1: 1}
+
+
 @functools.lru_cache(maxsize=None)
 def _fwd_partitioned(scale, dropout_rate, compute_dtype):
     from wav2vec2forbrain_tpu.parallel.kernel_partition import (
-        partition_batched,
+        partition_kernel,
     )
 
-    def impl(q, k, v, seed):
-        return _fwd_impl(q, k, v, seed, scale, dropout_rate, compute_dtype)
+    def impl(q, k, v, seed, rows, heads):
+        return _fwd_impl(
+            q, k, v, seed, rows, heads, scale, dropout_rate, compute_dtype
+        )
 
-    return partition_batched(
+    return partition_kernel(
         impl,
-        arg_ndims=(4, 4, 4, 1),
+        arg_factors=[_QKV, _QKV, _QKV, None, {0: 0}, {1: 0}],
+        arg_ndims=(4, 4, 4, 1, 1, 1),
+        out_factors=[_QKV],
         out_ndims=(4,),
-        shardable_dims=(0, 1),
-        replicated_argnums=(3,),
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _bwd_partitioned(scale, dropout_rate, compute_dtype):
     from wav2vec2forbrain_tpu.parallel.kernel_partition import (
-        partition_batched,
+        partition_kernel,
     )
 
-    def impl(q, k, v, g, seed):
-        return _bwd_impl(q, k, v, g, seed, scale, dropout_rate, compute_dtype)
+    def impl(q, k, v, g, seed, rows, heads):
+        return _bwd_impl(
+            q, k, v, g, seed, rows, heads, scale, dropout_rate, compute_dtype
+        )
 
-    return partition_batched(
+    return partition_kernel(
         impl,
-        arg_ndims=(4, 4, 4, 4, 1),
+        arg_factors=[_QKV, _QKV, _QKV, _QKV, None, {0: 0}, {1: 0}],
+        arg_ndims=(4, 4, 4, 4, 1, 1, 1),
+        out_factors=[_QKV, _QKV, _QKV],
         out_ndims=(4, 4, 4),
-        shardable_dims=(0, 1),
-        replicated_argnums=(4,),
     )
 
 
@@ -258,7 +285,8 @@ def _vjp_fwd(q, k, v, seed, scale, dropout_rate, compute_dtype):
 def _vjp_bwd(scale, dropout_rate, compute_dtype, res, g):
     q, k, v, seed = res
     dq, dk, dv = _bwd_partitioned(scale, dropout_rate, compute_dtype)(
-        q, k, v, g.astype(jnp.float32), seed.reshape(1).astype(jnp.int32)
+        q, k, v, g.astype(jnp.float32),
+        seed.reshape(1).astype(jnp.int32), *_ids(q),
     )
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 

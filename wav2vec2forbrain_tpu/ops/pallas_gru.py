@@ -305,7 +305,10 @@ def _fwd_impl(gi, w_hh, b_hh, h0, compute_dtype):
 
 
 def _vjp_fwd(gi, w_hh, b_hh, h0, compute_dtype):
-    ys = _fwd_impl(gi, w_hh, b_hh, h0, compute_dtype)
+    # route through the PARTITIONED wrapper: on real hardware the raw impl
+    # is an opaque custom call that GSPMD would all-gather (interpret-mode
+    # CPU tests can't catch this — there the kernel lowers to plain XLA ops)
+    ys = _fwd_partitioned(compute_dtype)(gi, w_hh, b_hh, h0)
     return ys, (gi, w_hh, b_hh, h0, ys)
 
 

@@ -319,8 +319,10 @@ def _fused_fwd_impl(x, day_weights, day_bias, day_idxs, sigma, kernel_len, strid
 
 
 def _fused_fwd(x, day_weights, day_bias, day_idxs, sigma, kernel_len, stride):
-    out = _fused_fwd_impl(
-        x, day_weights, day_bias, day_idxs, sigma, kernel_len, stride
+    # partitioned wrapper, not the raw impl: GSPMD would all-gather the
+    # opaque custom call on real hardware (see gru._vjp_fwd note)
+    out = _fwd_partitioned(sigma, kernel_len, stride)(
+        x, day_weights, day_bias, day_idxs
     )
     return out, (x, day_weights, day_bias, day_idxs)
 

@@ -62,28 +62,57 @@ class _HostPrefetcher:
 
         self._q = queue.Queue(maxsize=2)
         self._err = None
+        self._stop = False
+
+        def _put_item(item):
+            # bounded put that re-checks the stop flag: an early consumer
+            # exit (step error, Ctrl-C) must not leave this thread blocked
+            # forever holding device batches
+            while not self._stop:
+                try:
+                    self._q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for host_batch in loader:
-                    self._q.put((put_fn(host_batch), host_batch))
+                    if self._stop or not _put_item(
+                        (put_fn(host_batch), host_batch)
+                    ):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._q.put(self._DONE)
+                _put_item(self._DONE)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
 
+    def close(self):
+        """Unblock and drain the worker (idempotent)."""
+        self._stop = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=5.0)
+
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is self._DONE:
-                if self._err is not None:
-                    raise self._err
-                return
-            (batch, true_b), host_batch = item
-            yield batch, true_b, host_batch
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._DONE:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                (batch, true_b), host_batch = item
+                yield batch, true_b, host_batch
+        finally:
+            self.close()
 
 
 def _batch_stream(loader, put_fn, prefetch: bool):
