@@ -37,7 +37,7 @@ import numpy as np
 A100_CONFORMER_SAMPLES_PER_SEC_EST = 24.0
 
 
-def bench_isolated_step(on_accel):
+def bench_isolated_step(on_accel, family="conformer"):
     import jax
     import jax.numpy as jnp
 
@@ -48,6 +48,7 @@ def bench_isolated_step(on_accel):
         param_labels,
     )
     from wav2vec2forbrain_tpu.models.conformer import ConformerEncoderConfig
+    from wav2vec2forbrain_tpu.models.wav2vec2 import Wav2Vec2EncoderConfig
     from wav2vec2forbrain_tpu.train.optim import make_optimizer
     from wav2vec2forbrain_tpu.train.steps import (
         StepConfig,
@@ -56,7 +57,7 @@ def bench_isolated_step(on_accel):
         prune_labels,
     )
 
-    if on_accel:
+    if on_accel and family == "conformer":
         cfg = ConformerEncoderConfig.rope_large_960h()
         batch_size, t, u = 32, 384, 32
         steps, warmup = 20, 3
@@ -64,6 +65,17 @@ def bench_isolated_step(on_accel):
             latent_size=1024,
             encoder_family="conformer",
             conformer_cfg=cfg,
+            compute_dtype=jnp.bfloat16,
+            use_pallas=True,
+        )
+    elif on_accel:  # the fft sweep's wav2vec2-base full-fine-tune shape
+        cfg = Wav2Vec2EncoderConfig.base_960h()
+        batch_size, t, u = 64, 384, 32
+        steps, warmup = 20, 3
+        spec = ModelSpec(
+            latent_size=768,
+            encoder_family="wav2vec2",
+            w2v_cfg=cfg,
             compute_dtype=jnp.bfloat16,
             use_pallas=True,
         )
@@ -258,6 +270,7 @@ def main():
     float(jax.jit(jnp.sum)(jnp.ones((8, 8))))
 
     isolated = bench_isolated_step(on_accel)
+    w2v_base = bench_isolated_step(on_accel, "w2v_base") if on_accel else None
     e2e, e2e_wall = bench_e2e_trainer(on_accel)
 
     suffix = "" if on_accel else "_CPU_SMOKE"
@@ -277,6 +290,11 @@ def main():
                     ),
                     "isolated_vs_baseline": round(
                         isolated / A100_CONFORMER_SAMPLES_PER_SEC_EST, 3
+                    ),
+                    # second model family: fft-sweep wav2vec2-base shape,
+                    # bs 64 (A100 measured ≈ 87 samples/s incl. eval)
+                    "w2v_base_fft_isolated_samples_per_sec_per_chip": (
+                        round(w2v_base, 2) if w2v_base else None
                     ),
                     "e2e_run_wall_s": round(e2e_wall, 1),
                 },
