@@ -65,13 +65,13 @@ def _keep_mask(shape, keep_prob, mix):
     return (u < keep_prob).astype(jnp.float32)
 
 
-def _mix(seed_ref, rows_ref, heads_ref, h):
+def _mix(seed_ref, rows_ref, heads_ref, r, h):
     """Per-(GLOBAL batch row, GLOBAL head) hash stream selector.
 
     rows/heads carry global indices (they shard along with q), so dropout
     masks are identical whether the batch runs on one chip or dp/tp-sharded
     across a mesh — and never repeat across shards."""
-    row = rows_ref[pl.program_id(0)].astype(jnp.uint32)
+    row = rows_ref[r].astype(jnp.uint32)
     head = heads_ref[h].astype(jnp.uint32)
     return (
         seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
@@ -92,73 +92,99 @@ def _probs(q, k, scale, compute_dtype):
 
 def _fwd_kernel(
     seed_ref, rows_ref, heads_ref, q_ref, k_ref, v_ref, o_ref,
-    *, heads, scale, keep_prob, compute_dtype,
+    *, group, heads, scale, keep_prob, compute_dtype,
 ):
-    """Blocks: q/k/v/o (1, heads, T, D) for one batch element."""
-    for h in range(heads):  # static unroll: 2-D matmuls only
-        p = _probs(q_ref[0, h], k_ref[0, h], scale, compute_dtype)
-        if keep_prob < 1.0:
-            mix = _mix(seed_ref, rows_ref, heads_ref, h)
-            p = p * _keep_mask(p.shape, keep_prob, mix) * (1.0 / keep_prob)
-        o_ref[0, h] = jax.lax.dot_general(
-            p.astype(compute_dtype),
-            v_ref[0, h].astype(compute_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    """Blocks: q/k/v/o (group, heads, T, D) — `group` batch elements per
+    program (amortizes per-program grid overhead; results are independent
+    of `group` since the dropout hash keys on GLOBAL ids)."""
+    for i in range(group):
+        for h in range(heads):  # static unroll: 2-D matmuls only
+            p = _probs(q_ref[i, h], k_ref[i, h], scale, compute_dtype)
+            if keep_prob < 1.0:
+                row = pl.program_id(0) * group + i
+                mix = _mix(seed_ref, rows_ref, heads_ref, row, h)
+                p = p * _keep_mask(p.shape, keep_prob, mix) * (
+                    1.0 / keep_prob
+                )
+            o_ref[i, h] = jax.lax.dot_general(
+                p.astype(compute_dtype),
+                v_ref[i, h].astype(compute_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
 
 def _bwd_kernel(
     seed_ref, rows_ref, heads_ref, q_ref, k_ref, v_ref, g_ref,
     dq_ref, dk_ref, dv_ref,
-    *, heads, scale, keep_prob, compute_dtype,
+    *, group, heads, scale, keep_prob, compute_dtype,
 ):
     cd = compute_dtype
-    for h in range(heads):
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        g = g_ref[0, h]
-        p = _probs(q, k, scale, cd)  # pre-dropout probs, f32
-        if keep_prob < 1.0:
-            # same (seed, global row, global head) hash stream as forward
-            mix = _mix(seed_ref, rows_ref, heads_ref, h)
-            mask = _keep_mask(p.shape, keep_prob, mix) * (1.0 / keep_prob)
-            pd = p * mask  # dropped probs (what fwd used for ctx)
-        else:
-            pd = p
-        # dv = pd^T @ g
-        dv_ref[0, h] = jax.lax.dot_general(
-            pd.astype(cd), g.astype(cd),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dpd = g @ v^T ; through dropout: dp = dpd * mask
-        dp = jax.lax.dot_general(
-            g.astype(cd), v.astype(cd),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if keep_prob < 1.0:
-            dp = dp * mask
-        # softmax VJP on pre-dropout probs
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq_ref[0, h] = jax.lax.dot_general(
-            ds.astype(cd), k.astype(cd),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dk_ref[0, h] = jax.lax.dot_general(
-            ds.astype(cd), q.astype(cd),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
+    for i in range(group):
+        for h in range(heads):
+            q = q_ref[i, h]
+            k = k_ref[i, h]
+            v = v_ref[i, h]
+            g = g_ref[i, h]
+            p = _probs(q, k, scale, cd)  # pre-dropout probs, f32
+            if keep_prob < 1.0:
+                # same (seed, global row, global head) stream as forward
+                row = pl.program_id(0) * group + i
+                mix = _mix(seed_ref, rows_ref, heads_ref, row, h)
+                mask = _keep_mask(p.shape, keep_prob, mix) * (
+                    1.0 / keep_prob
+                )
+                pd = p * mask  # dropped probs (what fwd used for ctx)
+            else:
+                pd = p
+            # dv = pd^T @ g
+            dv_ref[i, h] = jax.lax.dot_general(
+                pd.astype(cd), g.astype(cd),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dpd = g @ v^T ; through dropout: dp = dpd * mask
+            dp = jax.lax.dot_general(
+                g.astype(cd), v.astype(cd),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if keep_prob < 1.0:
+                dp = dp * mask
+            # softmax VJP on pre-dropout probs
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq_ref[i, h] = jax.lax.dot_general(
+                ds.astype(cd), k.astype(cd),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk_ref[i, h] = jax.lax.dot_general(
+                ds.astype(cd), q.astype(cd),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
 
 
-def _call(kern, n_in, n_out, bhtd, seed, rows, heads, *args, interpret):
+_VMEM_BLOCK_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_group(b, h, t, d, n_arrays):
+    """Largest divisor of b whose operand blocks fit the VMEM budget."""
+    per_elem = n_arrays * h * t * d * 4
+    g = 1
+    for cand in range(2, b + 1):
+        if b % cand == 0 and cand * per_elem <= _VMEM_BLOCK_BUDGET:
+            g = cand
+    return g
+
+
+def _call(kern_fn, n_in, n_out, bhtd, seed, rows, head_ids, *args,
+          interpret, **kern_kw):
     b, h, t, d = bhtd
+    group = _pick_group(b, h, t, d, n_in + n_out + 1)
+    kern = functools.partial(kern_fn, group=group, **kern_kw)
     block = pl.BlockSpec(
-        (1, h, t, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (group, h, t, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     out_shape = [jax.ShapeDtypeStruct((b, h, t, d), jnp.float32)] * n_out
     out_specs = [block] * n_out
@@ -168,12 +194,12 @@ def _call(kern, n_in, n_out, bhtd, seed, rows, heads, *args, interpret):
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=(b // group,),
         in_specs=[smem, smem, smem] + [block] * n_in,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(seed, rows, heads, *args)
+    )(seed, rows, head_ids, *args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -199,31 +225,25 @@ def _ids(q):
 
 def _fwd_impl(q, k, v, seed, rows, heads, scale, dropout_rate, compute_dtype):
     b, h, t, d = q.shape
-    kern = functools.partial(
-        _fwd_kernel,
+    return _call(
+        _fwd_kernel, 3, 1, (b, h, t, d), seed, rows, heads, q, k, v,
+        interpret=_interpret(),
         heads=h,
         scale=scale,
         keep_prob=1.0 - dropout_rate,
         compute_dtype=compute_dtype,
-    )
-    return _call(
-        kern, 3, 1, (b, h, t, d), seed, rows, heads, q, k, v,
-        interpret=_interpret(),
     )
 
 
 def _bwd_impl(q, k, v, g, seed, rows, heads, scale, dropout_rate, compute_dtype):
     b, h, t, d = q.shape
-    kern = functools.partial(
-        _bwd_kernel,
+    return _call(
+        _bwd_kernel, 4, 3, (b, h, t, d), seed, rows, heads, q, k, v, g,
+        interpret=_interpret(),
         heads=h,
         scale=scale,
         keep_prob=1.0 - dropout_rate,
         compute_dtype=compute_dtype,
-    )
-    return _call(
-        kern, 4, 3, (b, h, t, d), seed, rows, heads, q, k, v, g,
-        interpret=_interpret(),
     )
 
 
