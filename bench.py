@@ -269,9 +269,29 @@ def main():
     # pay the tunnel's one-time D2H setup cost before any timing
     float(jax.jit(jnp.sum)(jnp.ones((8, 8))))
 
-    isolated = bench_isolated_step(on_accel)
-    w2v_base = bench_isolated_step(on_accel, "w2v_base") if on_accel else None
-    e2e, e2e_wall = bench_e2e_trainer(on_accel)
+    def retry(fn, attempts=3, wait=20.0):
+        # the remote compile service throws transient HTTP 500s; a one-shot
+        # bench must not die to one
+        last = None
+        for i in range(attempts):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 - deliberate catch-all
+                last = e
+                if i + 1 < attempts:
+                    time.sleep(wait)
+        raise last
+
+    isolated = retry(lambda: bench_isolated_step(on_accel))
+    try:  # optional extra: never let it kill the headline measurement
+        w2v_base = (
+            retry(lambda: bench_isolated_step(on_accel, "w2v_base"), 2)
+            if on_accel
+            else None
+        )
+    except Exception:
+        w2v_base = None
+    e2e, e2e_wall = retry(lambda: bench_e2e_trainer(on_accel))
 
     suffix = "" if on_accel else "_CPU_SMOKE"
     print(
