@@ -338,17 +338,24 @@ def test_h2d_dtype_float16_close_to_float32(
     device; training must stay numerically close to the f32 wire (the inputs
     are z-scored, so f16 keeps ~3 decimal digits)."""
     losses = {}
-    for wire in ("float32", "float16"):
+    for wire in ("float32", "float16", "bfloat16"):
         yaml_cfg = tiny_yaml_config(tmp_path / wire, synthetic_splits_dir)
         exp = impl.B2TGruAndW2VExperiment(
-            base_config(h2d_dtype=wire, epochs=1, return_best_model=False),
+            base_config(
+                h2d_dtype=wire,
+                epochs=1,
+                return_best_model=False,
+                # also covers the inline (non-threaded) batch stream
+                host_prefetch=(wire != "float16"),
+            ),
             yaml_cfg,
         )
         exp.run()
         with open(os.path.join(exp.results_dir, "history.json")) as f:
             hist = json.load(f)
         losses[wire] = hist["test"]["average"]["loss"]
-    assert np.isfinite(losses["float16"])
-    assert abs(losses["float16"] - losses["float32"]) < 0.05 * (
-        1.0 + abs(losses["float32"])
-    )
+    for wire in ("float16", "bfloat16"):
+        assert np.isfinite(losses[wire])
+        assert abs(losses[wire] - losses["float32"]) < 0.05 * (
+            1.0 + abs(losses["float32"])
+        )
