@@ -337,25 +337,29 @@ def test_h2d_dtype_float16_close_to_float32(
     """--h2d_dtype=float16 transfers the features half-width and upcasts on
     device; training must stay numerically close to the f32 wire (the inputs
     are z-scored, so f16 keeps ~3 decimal digits)."""
+    # one variable per case: three wire dtypes (threaded prefetch), plus the
+    # inline batch stream at the baseline dtype
+    cases = {
+        "float32": {},
+        "float16": {"h2d_dtype": "float16"},
+        "bfloat16": {"h2d_dtype": "bfloat16"},
+        "inline_stream": {"host_prefetch": False},
+    }
     losses = {}
-    for wire in ("float32", "float16", "bfloat16"):
-        yaml_cfg = tiny_yaml_config(tmp_path / wire, synthetic_splits_dir)
+    for name, overrides in cases.items():
+        yaml_cfg = tiny_yaml_config(tmp_path / name, synthetic_splits_dir)
         exp = impl.B2TGruAndW2VExperiment(
-            base_config(
-                h2d_dtype=wire,
-                epochs=1,
-                return_best_model=False,
-                # also covers the inline (non-threaded) batch stream
-                host_prefetch=(wire != "float16"),
-            ),
+            base_config(epochs=1, return_best_model=False, **overrides),
             yaml_cfg,
         )
         exp.run()
         with open(os.path.join(exp.results_dir, "history.json")) as f:
             hist = json.load(f)
-        losses[wire] = hist["test"]["average"]["loss"]
-    for wire in ("float16", "bfloat16"):
-        assert np.isfinite(losses[wire])
-        assert abs(losses[wire] - losses["float32"]) < 0.05 * (
+        losses[name] = hist["test"]["average"]["loss"]
+    for name in ("float16", "bfloat16"):
+        assert np.isfinite(losses[name])
+        assert abs(losses[name] - losses["float32"]) < 0.05 * (
             1.0 + abs(losses["float32"])
         )
+    # the inline stream feeds IDENTICAL batches — bitwise-equal training
+    assert losses["inline_stream"] == losses["float32"]
