@@ -1,8 +1,10 @@
 """Environment-level config.yaml bootstrap.
 
-Mirrors the reference behaviour (ref: src/args/yaml_config.py:9-62): on first
-run an annotated config.yaml is generated in the project root and the process
-exits so the user can fill in paths/keys.
+Same contract as the reference (ref: src/args/yaml_config.py:9-62): the first
+invocation writes a template config.yaml (one line per field, defaults filled
+in where they exist) and exits with status 0 so the user can edit it; every
+later invocation validates the file against the pydantic schema. Field names
+and defaults are parity surface and must not change.
 """
 
 import os
@@ -17,30 +19,46 @@ default_value = "<your value here>"
 
 class YamlConfigModel(BaseModel):
     cache_dir: str = Field(
-        description="Directory to store larger temporary files like model checkpoints in"
+        description="Scratch root for bulky artifacts (checkpoints, "
+        "converted weights, experiment result folders)."
     )
-    fig_dir: str = Field(description="Directory to store figures in")
-    n3gram_lm_model_path: str = Field(description="Path to the 3-gram language model")
-    n5gram_lm_model_path: str = Field(description="Path to the 5-gram language model")
+    fig_dir: str = Field(
+        description="Where generated plots and figures are written."
+    )
+    n3gram_lm_model_path: str = Field(
+        description="Filesystem location of the 3-gram LM used for beam-search"
+        " rescoring."
+    )
+    n5gram_lm_model_path: str = Field(
+        description="Filesystem location of the 5-gram LM used for beam-search"
+        " rescoring."
+    )
     dataset_splits_dir: str = Field(
-        description="Directory containing the original train and test split folder"
+        description="Root of the T12 data release, i.e. the folder holding "
+        "the unmodified train/test split subfolders."
     )
     wandb_api_key: str = Field(
-        description="Your Weights and Biases API key. You can find it in your W&B account settings."
+        description="API key for Weights & Biases logging (copy it from the "
+        "W&B settings page, or set it to any placeholder when running with "
+        "use_wandb=False)."
     )
     wandb_project_name: str = Field(
-        default="brain2text", description="Your W&B project name."
+        default="brain2text",
+        description="W&B project that runs are logged under.",
     )
     wandb_entity: str = Field(
-        default="machine-learning-hpi", description="Your W&B entity name."
+        default="machine-learning-hpi",
+        description="W&B team/user namespace that owns the project.",
     )
     timit_dataset_splits_dir: str = Field(
         default="",
-        description="Directory containing the original train and test split folder of TIMIT dataset",
+        description="Root of the TIMIT release (its train/test subfolders); "
+        "only needed by the TIMIT-based experiments.",
     )
     elevenlabs_api_key: Optional[str] = Field(
         default=None,
-        description="Your Elevenlabs API key. Needed only for latent analysis TTS.",
+        description="ElevenLabs TTS key; only the latent-analysis audio "
+        "generation step uses it.",
     )
     latent_analysis_working_dir: str = Field(default="latent_analysis")
 
@@ -50,24 +68,27 @@ class YamlConfig:
         self.config_path = config_path
         self.config = self._load_config()
 
+    def _template_lines(self):
+        for name, field in YamlConfigModel.model_fields.items():
+            default = field.default
+            if default is PydanticUndefined or default is None:
+                default = default_value
+            yield f"{name}: {default}\n"
+
     def _load_config(self) -> YamlConfigModel:
         if not os.path.exists(self.config_path):
             with open(self.config_path, "w") as f:
-                print(
-                    f"\nCreated a {self.config_path} file in project root. "
-                    "Please replace the autogenerated values in it."
-                )
-                for name, field in YamlConfigModel.model_fields.items():
-                    default = field.default
-                    if default is PydanticUndefined or default is None:
-                        default = default_value
-                    f.write(f"{name}: {default}\n")
+                f.writelines(self._template_lines())
+            print(
+                f"\nWrote a starter {self.config_path} to the project root — "
+                "edit the placeholder values, then rerun."
+            )
             raise SystemExit(0)
         with open(self.config_path, "r") as f:
             file_content = yaml.safe_load(f)
-            try:
-                return YamlConfigModel(**file_content)
-            except Exception as e:
-                raise Exception(
-                    f"Error validating fields in config file {self.config_path}: \n{e}"
-                )
+        try:
+            return YamlConfigModel(**file_content)
+        except Exception as e:
+            raise Exception(
+                f"Error validating fields in config file {self.config_path}: \n{e}"
+            )

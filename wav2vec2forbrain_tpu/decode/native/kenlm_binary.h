@@ -43,6 +43,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <string>
 #include <unordered_map>
@@ -160,12 +161,16 @@ struct KenlmBinaryModel {
     uint64_t h = hash_for_vocab(w);
     uint64_t b = vocab_buckets_;
     uint64_t i = h % b;
-    for (;;) {
+    // probe at most `b` slots: a table with no empty slot (possible only in
+    // a corrupt file — validation keeps real tables under-full) must not
+    // spin forever
+    for (uint64_t n = 0; n < b; ++n) {
       uint64_t key = read_u64(vocab_table_ + i * 12);
       if (key == h) return static_cast<int>(read_u32(vocab_table_ + i * 12 + 8));
       if (key == 0) return 0;  // <unk>
       if (++i == b) i = 0;
     }
+    return 0;
   }
 
   // log10 P(w | context) with Katz backoff — same recursion as the ARPA
@@ -243,13 +248,15 @@ struct KenlmBinaryModel {
   const uint8_t* find(const uint8_t* table, uint64_t buckets,
                       uint32_t entry_size, uint64_t h) const {
     uint64_t i = h % buckets;
-    for (;;) {
+    // bounded probe (see word_id): a full table terminates after one sweep
+    for (uint64_t n = 0; n < buckets; ++n) {
       const uint8_t* e = table + i * entry_size;
       uint64_t key = read_u64(e);
       if (key == h) return e;
       if (key == 0) return nullptr;
       if (++i == buckets) i = 0;
     }
+    return nullptr;
   }
 
   bool parse(std::string* err) {
@@ -313,6 +320,16 @@ struct KenlmBinaryModel {
     counts.assign(order, 0);
     const uint8_t* c = base_ + kSanityBytes + kFixedParamsBytes;
     for (int i = 0; i < order; ++i) counts[i] = read_u64(c + 8 * i);
+    // every table entry is >= 8 bytes, so any count beyond map_size_/8
+    // cannot fit in the file; rejecting it here also keeps the
+    // bucket_count()*entry_size products in try_layout from wrapping u64
+    for (int i = 0; i < order; ++i) {
+      if (counts[i] == 0 || counts[i] > map_size_ / 8) {
+        *err = "kenlm binary: implausible n-gram count " +
+               std::to_string(counts[i]) + " for order " + std::to_string(i + 1);
+        return false;
+      }
+    }
     uint64_t data_start =
         align8(kSanityBytes + kFixedParamsBytes + 8ull * order);
 
@@ -331,8 +348,19 @@ struct KenlmBinaryModel {
 
   bool try_layout(uint64_t data_start, bool align_sections, std::string* err) {
     err->clear();
-    auto maybe_align = [&](uint64_t off) {
-      return align_sections ? align8(off) : off;
+    // Overflow-safe cursor advance: rejects any section whose extent would
+    // wrap uint64 or run past the mapping, BEFORE table pointers derived
+    // from `off` are ever dereferenced (counts[] comes straight from the
+    // file, so rows*entry_size is attacker-controlled arithmetic).
+    auto take = [&](uint64_t* off, uint64_t rows, uint64_t entry_size,
+                    const char* what) {
+      if (*off > map_size_ || rows > (map_size_ - *off) / entry_size) {
+        *err = std::string(what) + " table exceeds file size";
+        return false;
+      }
+      *off += rows * entry_size;
+      if (align_sections) *off = align8(*off);
+      return true;
     };
     uint64_t off = data_start;
     // vocab: 8-byte header {version, bound} + table
@@ -356,17 +384,17 @@ struct KenlmBinaryModel {
     off += 8;
     vocab_table_ = base_ + off;
     vocab_buckets_ = bucket_count(c0, multiplier);
-    off = maybe_align(off + vocab_buckets_ * 12);
+    if (!take(&off, vocab_buckets_, 12, "vocab")) return false;
     // unigram array
     unigram_ = base_ + off;
-    off = maybe_align(off + (c0 + 1) * 8);
+    if (!take(&off, c0 + 1, 8, "unigram")) return false;
     // middles
     middle_tables_.clear();
     middle_buckets_.clear();
     for (int n = 2; n < order; ++n) {
       middle_tables_.push_back(base_ + off);
       middle_buckets_.push_back(bucket_count(counts[n - 1], multiplier));
-      off = maybe_align(off + middle_buckets_.back() * 16);
+      if (!take(&off, middle_buckets_.back(), 16, "middle")) return false;
     }
     // longest
     longest_table_ = nullptr;
@@ -374,11 +402,7 @@ struct KenlmBinaryModel {
     if (order >= 2) {
       longest_table_ = base_ + off;
       longest_buckets_ = bucket_count(counts[order - 1], multiplier);
-      off = maybe_align(off + longest_buckets_ * 12);
-    }
-    if (off > map_size_) {
-      *err = "sections exceed file size";
-      return false;
+      if (!take(&off, longest_buckets_, 12, "longest")) return false;
     }
     // strings to EOF
     const char* s = reinterpret_cast<const char*>(base_ + off);
