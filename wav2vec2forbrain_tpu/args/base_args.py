@@ -201,6 +201,27 @@ class BaseExperimentArgsModel(BaseModel):
             "thread so H2D transfers overlap device compute"
         ),
     )
+    device_data_cache: Literal["auto", "on", "off"] = Field(
+        "auto",
+        description=(
+            "Keep the whole dataset resident in device HBM (features at "
+            "--h2d_dtype) and assemble batches on device with a jitted "
+            "gather, eliminating the per-step feature H2D transfer. 'auto' "
+            "enables it on accelerator platforms when the splits fit "
+            "--device_data_cache_max_bytes; shuffle order is identical to "
+            "streaming, every batch runs at the dataset-wide (T, U) bucket "
+            "(see train/device_cache.py)"
+        ),
+    )
+    device_data_cache_max_bytes: int = Field(
+        1_500_000_000,
+        description=(
+            "Byte budget for --device_data_cache=auto across all splits; "
+            "exceeding it falls back to streaming. Sized so the headline "
+            "conformer-large training state + the T12 corpus at float16 "
+            "coexist in a 16 GB-HBM chip"
+        ),
+    )
     h2d_dtype: Literal["float32", "float16", "bfloat16"] = Field(
         "float32",
         description=(

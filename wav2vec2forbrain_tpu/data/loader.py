@@ -79,14 +79,22 @@ class DataLoader:
         n = len(self.dataset)
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[B2tBatch]:
+    def iter_index_batches(self) -> Iterator[List[int]]:
+        """The epoch's batch compositions as index lists.
+
+        Single source of truth for batch order: __iter__ collates these, and
+        the device-resident dataset cache (train/device_cache.py) gathers
+        them on device — both modes consume the same RNG stream, so shuffle
+        order is identical whichever path a run takes."""
         if self.batch_sampler is not None:
-            for idxs in self.batch_sampler:
-                yield self.collate_fn([self.dataset[i] for i in idxs])
+            yield from self.batch_sampler
             return
         order = list(range(len(self.dataset)))
         if self.shuffle:
             self._rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
-            idxs = order[start : start + self.batch_size]
+            yield order[start : start + self.batch_size]
+
+    def __iter__(self) -> Iterator[B2tBatch]:
+        for idxs in self.iter_index_batches():
             yield self.collate_fn([self.dataset[i] for i in idxs])

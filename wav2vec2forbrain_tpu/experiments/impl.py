@@ -371,6 +371,41 @@ class B2TGruW2VExperimentBase:
             cfg.adjust_global_lr_to_w2v_postwarmup_lr == True,
         )
 
+    # --- device-resident dataset cache --------------------------------------
+
+    def get_device_caches(self) -> dict:
+        """{split: DeviceDatasetCache} per --device_data_cache; built on the
+        first call (i.e. at Trainer construction, after model params are
+        placed) and empty when disabled. See train/device_cache.py."""
+        if not hasattr(self, "_device_caches"):
+            self._device_caches = self._build_device_caches()
+        return self._device_caches
+
+    def _build_device_caches(self) -> dict:
+        cfg = self.base_config
+        mode = getattr(cfg, "device_data_cache", "off")
+        if mode == "off":
+            return {}
+        if mode == "auto" and jax.devices()[0].platform not in ("tpu", "gpu"):
+            # auto is an accelerator optimization; tests opt in with 'on'
+            return {}
+        from wav2vec2forbrain_tpu.train.device_cache import build_split_caches
+
+        return build_split_caches(
+            {
+                "train": self.dataloader_train,
+                "val": self.dataloader_val,
+                "test": self.dataloader_test,
+            },
+            self.tokenizer,
+            cfg,
+            mesh=self.mesh,
+            batch_sharding=self.batch_sharding_fn,
+            max_bytes=(
+                cfg.device_data_cache_max_bytes if mode == "auto" else None
+            ),
+        )
+
     # --- evaluator ----------------------------------------------------------
 
     def _make_lm_decoder(self):

@@ -195,6 +195,24 @@ class Trainer:
         self.dataloader_val = experiment.dataloader_val
         self.dataloader_test = experiment.dataloader_test
 
+        # device-resident dataset caches (train/device_cache.py): when a
+        # loader's split is cached, epochs gather batches on device instead
+        # of streaming H2D copies
+        caches = (
+            experiment.get_device_caches()
+            if hasattr(experiment, "get_device_caches")
+            else {}
+        )
+        self._cache_by_loader = {
+            id(loader): caches[split]
+            for split, loader in (
+                ("train", self.dataloader_train),
+                ("val", self.dataloader_val),
+                ("test", self.dataloader_test),
+            )
+            if split in caches and loader is not None
+        }
+
         from wav2vec2forbrain_tpu.util.profiling import StepTimer
 
         self.samples_seen = 0
@@ -229,6 +247,18 @@ class Trainer:
             )
         return batch, true_b
 
+    def _stream_for(self, loader):
+        """Device-cached gather stream when the loader's split is resident,
+        else the collate/H2D stream (optionally prefetched)."""
+        cache = self._cache_by_loader.get(id(loader))
+        if cache is not None:
+            return cache.stream(
+                loader, self.config.batch_size, self.data_axis
+            )
+        return _batch_stream(
+            loader, self._put, getattr(self.config, "host_prefetch", True)
+        )
+
     def _log_intermediate(self, i: int, n: int, evaluator):
         print(
             f"Batch {i + 1}/{n} loss: {evaluator.get_latest_loss():.2f} "
@@ -260,9 +290,7 @@ class Trainer:
             ):
                 self._log_intermediate(i, n, evaluator)
 
-        stream = _batch_stream(
-            data_loader, self._put, getattr(self.config, "host_prefetch", True)
-        )
+        stream = self._stream_for(data_loader)
         for i, (batch, true_b, host_batch) in enumerate(stream):
             out = self.train_step(
                 self.trainable,
@@ -327,9 +355,7 @@ class Trainer:
 
         # lag-1 pipeline: host decode (incl. LM beam search on test) overlaps
         # the next batch's device eval
-        stream = _batch_stream(
-            dataloader, self._put, getattr(self.config, "host_prefetch", True)
-        )
+        stream = self._stream_for(dataloader)
         for i, (batch, true_b, host_batch) in enumerate(stream):
             outs = self.eval_step(
                 self.trainable, self.frozen, self.model_state, batch
