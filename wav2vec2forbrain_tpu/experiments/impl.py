@@ -227,15 +227,23 @@ class B2TGruW2VExperimentBase:
             enc_cfg.do_stable_layer_norm = True
         return enc_cfg
 
-    def _resolve_scan_layers(self) -> bool:
+    # probe the compile cache only when unrolling could save meaningful
+    # wall-clock: below this step count the per-step win can't add up to
+    # more than a few seconds, so skip the (seconds of) trace+lower cost
+    _SCAN_PROBE_MIN_STEPS = 50
+
+    def _resolve_scan_layers(self, make_spec=None) -> bool:
         """--scan_layers=auto: unroll the layer loop only when the run is
-        long enough to amortize the extra compile time.
+        long enough to amortize the extra compile time — OR when that
+        compile time is ~zero because the unrolled program is already in
+        the persistent compile cache (warmed by an earlier run of the same
+        config; probed without compiling, util/compile_probe.py).
 
         Unrolled is faster per step but costs minutes of extra XLA compile
         on the 12/24-layer encoders (scanned compiles ~10x faster); below
-        the break-even step count the scanned encoder wins on wall-clock.
-        The threshold is conservative vs the measured TPU numbers in
-        README.md's performance table."""
+        the break-even step count a COLD unrolled program loses on
+        wall-clock. The threshold is conservative vs the measured TPU
+        numbers in README.md's performance table."""
         cfg = self.base_config
         if cfg.scan_layers != "auto":
             return bool(cfg.scan_layers)
@@ -243,29 +251,167 @@ class B2TGruW2VExperimentBase:
             return True
         planned_steps = cfg.epochs * max(len(self.dataloader_train), 1)
         unroll = planned_steps >= 1500
+        why = f"{planned_steps} planned train steps"
+        if (
+            not unroll
+            and make_spec is not None
+            and planned_steps >= self._SCAN_PROBE_MIN_STEPS
+        ):
+            try:
+                if self._probe_unrolled_cached(make_spec(False)):
+                    unroll = True
+                    why = (
+                        f"{planned_steps} planned train steps, but the "
+                        "unrolled program is already compiled in the "
+                        "persistent cache"
+                    )
+            except Exception as e:  # noqa: BLE001 — probe is best-effort
+                why += f" (cache probe failed: {e})"
         print(
             f"scan_layers=auto: {'unrolled' if unroll else 'scanned'} encoder "
-            f"({planned_steps} planned train steps)"
+            f"({why})"
         )
         return not unroll
+
+    def _probe_unrolled_cached(self, spec_unrolled) -> bool:
+        """Would the unrolled train step be a persistent-compile-cache hit?
+
+        Rebuilds the EXACT program the Trainer would run — same build_steps
+        jit (donation included), abstract params/opt-state from eval_shape
+        with the mesh shardings attached, and the predicted single-bucket
+        batch shapes — then lowers it and asks the cache (no compilation
+        either way)."""
+        from wav2vec2forbrain_tpu.data.batch import B2tBatch
+        from wav2vec2forbrain_tpu.util.compile_probe import lowered_is_cached
+
+        cfg = self.base_config
+        shapes = self._predict_batch_shapes()
+        if shapes is None:
+            return False
+        t_max, u_max, n_ch = shapes
+
+        params_abs, state_abs = jax.eval_shape(
+            lambda k: init_model_params(k, spec_unrolled),
+            jax.random.PRNGKey(0),
+        )
+        labels = param_labels(params_abs, cfg.unfreeze_strategy)
+        trainable_abs, frozen_abs = partition_params(params_abs, labels)
+        tlabels = prune_labels(labels, trainable_abs)
+        tx = make_optimizer(
+            tlabels,
+            optimizer=cfg.optimizer,
+            weight_decay=cfg.weight_decay,
+            eps=cfg.optimizer_epsilon,
+        )
+        opt_abs = jax.eval_shape(tx.init, trainable_abs)
+        step_cfg = StepConfig(
+            gradient_clipping=cfg.gradient_clipping,
+            white_noise_sd=cfg.whiteNoiseSD,
+            constant_offset_sd=cfg.constantOffsetSD,
+        )
+        train_step, _ = build_steps(spec_unrolled, tlabels, tx, step_cfg)
+
+        def with_shardings(tree):
+            return jax.tree_util.tree_map(
+                lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+                tree,
+                param_shardings(tree, self.mesh),
+            )
+
+        wire = getattr(cfg, "h2d_dtype", "float32")
+        wire_dt = {
+            "float32": jnp.float32,
+            "float16": jnp.float16,
+            "bfloat16": jnp.bfloat16,
+        }[wire]
+        # the Trainer pads every batch up to batch_size rounded to the data
+        # axis (train_loop.Trainer._put) — the compiled program's row count
+        data_axis = self.mesh.shape["data"] if self.mesh is not None else 1
+        b = ((cfg.batch_size + data_axis - 1) // data_axis) * data_axis
+        bs = self.batch_sharding_fn
+
+        def batch_abs(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=bs)
+
+        batch = B2tBatch(
+            input=batch_abs((b, t_max, n_ch), wire_dt),
+            target=batch_abs((b, u_max), jnp.int32),
+            day_idxs=batch_abs((b,), jnp.int32),
+            input_lens=batch_abs((b,), jnp.int32),
+            target_lens=batch_abs((b,), jnp.int32),
+            sample_mask=batch_abs((b,), jnp.float32),
+        )
+        k = jax.random.PRNGKey(0)  # shape depends on the active PRNG impl
+        rng_abs = jax.ShapeDtypeStruct(k.shape, k.dtype)
+        lowered = train_step.lower(
+            with_shardings(trainable_abs),
+            with_shardings(frozen_abs),
+            with_shardings(opt_abs),
+            with_shardings(state_abs),
+            batch,
+            rng_abs,
+            1e-4,
+            1e-5,
+        )
+        return lowered_is_cached(lowered) is True
+
+    def _predict_batch_shapes(self):
+        """(T, U, C) of the dataset-wide padding bucket — the shapes every
+        full batch runs at under a single-bucket config (and exactly the
+        device-cache shapes). None when the train split is empty."""
+        ds = self.dataloader_train.dataset
+        n = len(ds)
+        if n == 0:
+            return None
+        multiple_channels = self.base_config.preprocessing in (
+            "seperate_zscoring_2channels",
+            "seperate_zscoring_4channels",
+        )
+        if multiple_channels:
+            return None  # (B, ch, T, F) layouts: no single predicted shape
+        from wav2vec2forbrain_tpu.data.dataset import _PUNCTUATION_RE
+        from wav2vec2forbrain_tpu.util.seq import round_up
+
+        samples = [ds[i] for i in range(n)]
+        t_max = round_up(
+            max(s.input.shape[0] for s in samples),
+            self.base_config.pad_to_multiple,
+        )
+        labels = [
+            _PUNCTUATION_RE.sub("", s.target)
+            if self.base_config.remove_punctuation
+            else s.target
+            for s in samples
+        ]
+        ids = self.tokenizer(labels, padding="longest").input_ids
+        u_max = round_up(
+            ids.shape[1], self.base_config.target_pad_to_multiple
+        )
+        return t_max, u_max, samples[0].input.shape[-1]
 
     def _build_model(self):
         cfg = self.base_config
         latent = PRETRAINED_LATENT_SIZES[cfg.wav2vec_checkpoint]
         enc_cfg = self._encoder_config()
-        self.spec = ModelSpec.from_args(
-            cfg,
-            latent_size=latent,
-            encoder_family=self.ENCODER_FAMILY,
-            encoder_cfg=enc_cfg,
-            ctc_loss_reduction=cfg.ctc_loss_reduction,
-            compute_dtype=(
-                jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-            ),
-            use_pallas=cfg.use_pallas,
-            scan_layers=self._resolve_scan_layers(),
-            remat_policy=cfg.remat_policy,
-        )
+
+        def make_spec(scan: bool) -> ModelSpec:
+            return ModelSpec.from_args(
+                cfg,
+                latent_size=latent,
+                encoder_family=self.ENCODER_FAMILY,
+                encoder_cfg=enc_cfg,
+                ctc_loss_reduction=cfg.ctc_loss_reduction,
+                compute_dtype=(
+                    jnp.bfloat16
+                    if cfg.compute_dtype == "bfloat16"
+                    else jnp.float32
+                ),
+                use_pallas=cfg.use_pallas,
+                scan_layers=scan,
+                remat_policy=cfg.remat_policy,
+            )
+
+        self.spec = make_spec(self._resolve_scan_layers(make_spec))
         self._init_rng, k = jax.random.split(self._init_rng)
         params, state = init_model_params(k, self.spec)
 
@@ -327,7 +473,11 @@ class B2TGruW2VExperimentBase:
             weight_decay=cfg.weight_decay,
             eps=cfg.optimizer_epsilon,
         )
-        self.opt_state = jax.jit(self.tx.init)(self.trainable)
+        # place with explicit NamedShardings (like params): jit-inferred
+        # output shardings leave some leaves on empty-mesh/unannotated
+        # shardings, which would make the train step's lowered module differ
+        # from the scan_layers=auto cache probe's reconstruction
+        self.opt_state = self.shard_params(jax.jit(self.tx.init)(self.trainable))
         step_cfg = StepConfig(
             gradient_clipping=cfg.gradient_clipping,
             white_noise_sd=cfg.whiteNoiseSD,
@@ -641,7 +791,7 @@ class B2TGruW2VExperimentBase:
         n = len(dataloader)
         for i, host_batch in enumerate(dataloader):
             batch, true_b = trainer._put(host_batch)
-            loss, logits, logit_lens, pred_ids = trainer.eval_step(
+            loss, logits, logit_lens, pred_ids, _metrics = trainer.eval_step(
                 trainer.trainable, trainer.frozen, trainer.model_state, batch
             )
             preds = {
