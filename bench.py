@@ -4,26 +4,33 @@ Two measurements of the paper-headline config b2p2t_gru+w2v_conformer
 (preprocessing chain + biGRU + 24-layer Conformer-RoPE-large + CTC + Adam,
 unfreeze_strategy=brain_encoder+w2v):
 
-1. isolated train step — the jitted step alone on fixed shapes (peak device
-   number; unrolled layers, bf16, Pallas kernels)
-2. end-to-end Trainer — the real `Trainer` epoch loop on synthetic T12-shaped
-   data: host dataloader + collation, bucketed ragged batches, greedy-WER
-   evaluator pipeline, per-epoch val eval, scan_layers=auto. Reported value
-   is the MEDIAN warm-epoch train samples/sec/chip from the standard
-   StepTimer metrics (epoch 1 excluded; single-epoch readings swing ±20%
-   with tunnel/host conditions). Best-model checkpointing is disabled here because the
-   benchmark tunnel's D2H is not representative of local checkpoints' cost.
+1. isolated train step — the experiment's OWN jitted train step (unrolled
+   layers, bf16, Pallas kernels) timed on a fixed device-resident batch.
+   Because it is built through the same experiment machinery as phase 2
+   (same shapes, shardings, donation), compiling it also warms the
+   persistent compile cache with the exact program the Trainer will run —
+   so phase 2's scan_layers=auto detects the hit and picks the unrolled
+   encoder even for a short run (experiments/impl.py::_probe_unrolled_cached).
+2. end-to-end Trainer — the real `Trainer` epoch loop on synthetic
+   T12-shaped data: day-bucketed batches, greedy-WER evaluator pipeline,
+   per-epoch val eval, device-resident dataset cache (auto), scan auto.
+   Reported value is the MEDIAN warm-epoch train samples/sec/chip (epoch 1
+   excluded: it contains the compiles); per-epoch readings + best epoch +
+   inter-epoch spread ride along in "extra" so a bad-weather tunnel run is
+   visibly bad weather.
+
+A third best-effort phase repeats both for the fft-sweep wav2vec2-base
+shape (bs 64 — the config BASELINE.md's A100 ≈87 samples/s estimate comes
+from); its failures never kill the headline.
 
 vs_baseline: the A100 reference throughput is estimated from the archived
 fft sweep (BASELINE.md): median run 3016 s for ~30 epochs x ~8800 train
-sentences on wav2vec2-base at batch 64 => ~87 samples/s on A100 for the BASE
-model incl. eval overhead. Conformer-rope-large is ~3.6x the encoder FLOPs of
-base => ~24 samples/s/A100 estimated for the headline config. The
+sentences on wav2vec2-base at batch 64 => ~87 samples/s on A100 for the
+BASE model incl. eval overhead. Conformer-rope-large is ~3.6x the encoder
+FLOPs of base => ~24 samples/s/A100 estimated for the headline config. The
 BASELINE.json target is >=3x that, i.e. ~72 samples/s/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-The headline value is the honest end-to-end Trainer number; the isolated
-step number rides along in "extra".
 """
 
 import json
@@ -35,81 +42,167 @@ import time
 import numpy as np
 
 A100_CONFORMER_SAMPLES_PER_SEC_EST = 24.0
+A100_W2V_BASE_SAMPLES_PER_SEC_MEASURED = 87.0
 
 
-def bench_isolated_step(on_accel, family="conformer"):
-    import jax
-    import jax.numpy as jnp
-
-    from __graft_entry__ import _make_batch
-    from wav2vec2forbrain_tpu.models.assembly import (
-        ModelSpec,
-        init_model_params,
-        param_labels,
-    )
-    from wav2vec2forbrain_tpu.models.conformer import ConformerEncoderConfig
-    from wav2vec2forbrain_tpu.models.wav2vec2 import Wav2Vec2EncoderConfig
-    from wav2vec2forbrain_tpu.train.optim import make_optimizer
-    from wav2vec2forbrain_tpu.train.steps import (
-        StepConfig,
-        build_steps,
-        partition_params,
-        prune_labels,
-    )
+def _bench_configs(on_accel, family):
+    """(generator kwargs, run config overrides, batch/steps) per family."""
+    from wav2vec2forbrain_tpu.data.dataset import sessionNames
 
     if on_accel and family == "conformer":
-        cfg = ConformerEncoderConfig.rope_large_960h()
-        batch_size, t, u = 32, 384, 32
-        steps, warmup = 20, 3
-        spec = ModelSpec(
-            latent_size=1024,
-            encoder_family="conformer",
-            conformer_cfg=cfg,
-            compute_dtype=jnp.bfloat16,
-            use_pallas=True,
+        gen = dict(
+            # Real T12 sessions carry ~375 train sentences each, so a day's
+            # batches are nearly all full (~97% batch efficiency under the
+            # never-mix-days sampler). 4 x 240 train trials reproduces that
+            # regime (94%).
+            session_names=sessionNames[:4],
+            n_trials=300,  # 5 blocks: 60 go to the test split per session
+            n_blocks=5,
+            test_dir_n_trials=8,
+            min_frames=280,
+            max_frames=380,
         )
-    elif on_accel:  # the fft sweep's wav2vec2-base full-fine-tune shape
-        cfg = Wav2Vec2EncoderConfig.base_960h()
-        batch_size, t, u = 64, 384, 32
-        steps, warmup = 20, 3
-        spec = ModelSpec(
-            latent_size=768,
-            encoder_family="wav2vec2",
-            w2v_cfg=cfg,
-            compute_dtype=jnp.bfloat16,
+        run_cfg = dict(
+            experiment_type="b2p2t_gru+w2v_conformer",
+            wav2vec_checkpoint="facebook/wav2vec2-conformer-rope-large-960h-ft",
+            tokenizer_checkpoint="facebook/wav2vec2-conformer-rope-large-960h-ft",
+            unfreeze_strategy="brain_encoder+w2v",
+            w2v_learning_rate=1e-4,
+            w2v_warmup_start_step=0,
+            w2v_warmup_steps=3,
+            batch_size=32,
+            epochs=4,
+            compute_dtype="bfloat16",
             use_pallas=True,
-            # measured 943 samples/s/chip on v5e; this phase is best-effort
-            # (its compile trips the remote compile helper's transient 500s
-            # more often than the conformer programs — retried, and a
-            # failure only nulls this extra, never the headline)
+            # one (T, U) bucket: the 280-380-frame data all pads to 384,
+            # i.e. 88 encoder frames — the headline-step shape (512 frames
+            # OOMs HBM at bs 32 on v5e)
+            pad_to_multiple=384,
+            target_pad_to_multiple=64,
+            # features live in HBM at f16 (device_data_cache): the wire
+            # dtype is also the cache storage dtype
+            h2d_dtype="float16",
         )
+        steps, warmup = 20, 3
+    elif on_accel:  # fft-sweep wav2vec2-base full-fine-tune shape
+        gen = dict(
+            session_names=sessionNames[:4],
+            n_trials=300,
+            n_blocks=5,
+            test_dir_n_trials=8,
+            min_frames=280,
+            max_frames=380,
+        )
+        run_cfg = dict(
+            experiment_type="b2p2t_gru+w2v",
+            wav2vec_checkpoint="facebook/wav2vec2-base-960h",
+            tokenizer_checkpoint="facebook/wav2vec2-base-960h",
+            unfreeze_strategy="brain_encoder+w2v",
+            w2v_learning_rate=1e-4,
+            w2v_warmup_start_step=0,
+            w2v_warmup_steps=3,
+            batch_size=64,
+            # 4 epochs x 15 steps = 60 planned steps: above the scan-auto
+            # probe threshold, and 3 warm epochs for the median
+            epochs=4,
+            compute_dtype="bfloat16",
+            use_pallas=True,
+            pad_to_multiple=384,
+            target_pad_to_multiple=64,
+            h2d_dtype="float16",
+        )
+        steps, warmup = 20, 3
     else:  # CPU smoke mode
-        cfg = ConformerEncoderConfig.tiny_test()
-        batch_size, t, u = 4, 128, 12
-        steps, warmup = 3, 1
-        spec = ModelSpec(
-            gru_hidden_size=32,
-            gru_num_layers=1,
-            latent_size=cfg.hidden_size,
-            encoder_family="conformer",
-            conformer_cfg=cfg,
-            compute_dtype=jnp.float32,
+        gen = dict(
+            session_names=sessionNames[:2],
+            n_trials=8,
+            n_blocks=2,
+            test_dir_n_trials=4,
         )
+        run_cfg = dict(
+            experiment_type="b2p2t_gru+w2v_conformer",
+            wav2vec_checkpoint="facebook/wav2vec2-conformer-rope-large-960h-ft",
+            tokenizer_checkpoint="facebook/wav2vec2-conformer-rope-large-960h-ft",
+            unfreeze_strategy="brain_encoder+w2v",
+            w2v_learning_rate=1e-4,
+            w2v_warmup_start_step=0,
+            w2v_warmup_steps=3,
+            batch_size=4,
+            epochs=2,
+            compute_dtype="float32",
+            pad_to_multiple=256,
+            target_pad_to_multiple=32,
+        )
+        steps, warmup = 3, 1
+    return gen, run_cfg, steps, warmup
 
-    params, state = init_model_params(jax.random.PRNGKey(0), spec)
-    labels = param_labels(params, "brain_encoder+w2v")
-    trainable, frozen = partition_params(params, labels)
-    tlabels = prune_labels(labels, trainable)
-    tx = make_optimizer(tlabels)
-    opt_state = jax.jit(tx.init)(trainable)
-    train_step, _ = build_steps(spec, tlabels, tx, StepConfig(None, 0.0, 0.0))
 
-    batch = _make_batch(np.random.default_rng(0), batch_size, t, u)
-    batch = jax.tree_util.tree_map(jnp.asarray, batch)
-    rng = jax.random.PRNGKey(1)
+def _make_experiment(tmp, on_accel, family, **overrides):
+    import wav2vec2forbrain_tpu.experiments.impl as impl
+    from wav2vec2forbrain_tpu.args.yaml_config import YamlConfigModel
+    from wav2vec2forbrain_tpu.data.synthetic import make_synthetic_splits_dir
+
+    gen, run_cfg, steps, warmup = _bench_configs(on_accel, family)
+    if not on_accel:
+        from wav2vec2forbrain_tpu.args.base_args import PRETRAINED_LATENT_SIZES
+        from wav2vec2forbrain_tpu.models.conformer import ConformerEncoderConfig
+
+        impl.encoder_config_for_checkpoint = lambda ckpt: (
+            "conformer",
+            ConformerEncoderConfig.tiny_test(),
+        )
+        PRETRAINED_LATENT_SIZES[
+            "facebook/wav2vec2-conformer-rope-large-960h-ft"
+        ] = 96
+
+    splits_dir = os.path.join(tmp, f"data_{family}")
+    if not os.path.isdir(splits_dir):
+        make_synthetic_splits_dir(splits_dir, seed=0, **gen)
+    yaml_cfg = YamlConfigModel(
+        cache_dir=os.path.join(tmp, f"cache_{family}"),
+        fig_dir=os.path.join(tmp, "figs"),
+        n3gram_lm_model_path=os.path.join(tmp, "missing_3gram.arpa"),
+        n5gram_lm_model_path=os.path.join(tmp, "missing_5gram.arpa"),
+        dataset_splits_dir=splits_dir,
+        wandb_api_key="offline",
+    )
+    config = dict(
+        learning_rate=1e-3,
+        w2v_skip_loading_weights=True,  # random init: no HF download
+        scan_layers="auto",
+        return_best_model=False,  # keep tunnel D2H out of the timing
+        use_wandb=False,
+        seed=0,
+        **run_cfg,
+    )
+    config.update(overrides)
+    exp_cls = (
+        impl.B2TGruAndW2VConformerExperiment
+        if config["experiment_type"] == "b2p2t_gru+w2v_conformer"
+        else impl.B2TGruAndW2VExperiment
+    )
+    return exp_cls(config, yaml_cfg), steps, warmup
+
+
+def bench_isolated_step(tmp, on_accel, family="conformer"):
+    """Time the experiment's own (unrolled) train step on one resident
+    batch; compiling it warms the persistent cache for the e2e phase."""
+    import gc
+
+    import jax
+
+    from wav2vec2forbrain_tpu.train.train_loop import Trainer
+
+    exp, steps, warmup = _make_experiment(
+        tmp, on_accel, family, scan_layers=False
+    )
+    tr = Trainer(exp)
+    batch, _true_b, _hb = next(iter(tr._stream_for(exp.dataloader_train)))
+    trainable, frozen = tr.trainable, tr.frozen
+    opt_state, state, rng = tr.opt_state, tr.model_state, tr.rng
 
     def run_step(trainable, opt_state, state, rng):
-        return train_step(
+        return tr.train_step(
             trainable, frozen, opt_state, state, batch, rng, 1e-4, 1e-5
         )
 
@@ -124,7 +217,11 @@ def bench_isolated_step(on_accel, family="conformer"):
     # NB: sync via scalar D2H — through the axon tunnel block_until_ready
     # returns before execution finishes; a host fetch is the only real fence.
     float(out.loss)
+    # warm the eval-step program too (the e2e phase runs it every epoch)
+    ev = tr.eval_step(trainable, frozen, state, batch)
+    float(ev[0])
 
+    batch_size = batch.input.shape[0]
     # best of 3 timed chunks: this is the PEAK device number by contract,
     # and single timed windows through the remote tunnel dip 10-20% with
     # transient conditions
@@ -142,129 +239,32 @@ def bench_isolated_step(on_accel, family="conformer"):
         float(out.loss)
         dt = time.perf_counter() - t0
         best = max(best, batch_size * steps / dt)
+    # free the device state before the e2e phase re-allocates its own
+    del out, ev, trainable, frozen, opt_state, state, batch, tr, exp
+    gc.collect()
     return best
 
 
-def bench_e2e_trainer(on_accel):
-    """Real Trainer run on synthetic T12-schema data; returns (samples/s/chip
-    of the final warm train epoch, run wall seconds)."""
-    import wav2vec2forbrain_tpu.experiments.impl as impl
-    from wav2vec2forbrain_tpu.args.yaml_config import YamlConfigModel
-    from wav2vec2forbrain_tpu.data.dataset import sessionNames
-    from wav2vec2forbrain_tpu.data.synthetic import make_synthetic_splits_dir
+def bench_e2e_trainer(tmp, on_accel, family="conformer"):
+    """Real Trainer run; returns (median warm-epoch samples/s/chip,
+    per-epoch list, wall seconds)."""
+    exp, _steps, _warmup = _make_experiment(tmp, on_accel, family)
+    t0 = time.perf_counter()
+    exp.run()
+    wall = time.perf_counter() - t0
 
-    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
-    try:
-        if on_accel:
-            gen = dict(
-                # Real T12 sessions carry ~375 train sentences each, so a
-                # day's batches are nearly all full (~97% batch efficiency
-                # under the never-mix-days sampler). 4 x 240 train trials
-                # reproduces that regime (94%); few sessions with many
-                # trials, not many sessions with pathological 16-row tails.
-                session_names=sessionNames[:4],
-                n_trials=300,  # 5 blocks: 60 go to the test split per session
-                n_blocks=5,
-                test_dir_n_trials=8,
-                min_frames=280,
-                max_frames=380,
-            )
-            run_cfg = dict(
-                batch_size=32,
-                epochs=4,
-                compute_dtype="bfloat16",
-                use_pallas=True,
-                # one (T, U) bucket: bounds the bench to a single train +
-                # eval compile (the 280-380-frame data all pads to 384,
-                # i.e. 88 encoder frames — the headline-step shape; 512
-                # frames OOMs HBM at bs 32 on v5e)
-                pad_to_multiple=384,
-                target_pad_to_multiple=64,
-                # wire the 13 MB/step feature transfer as f16: H2D
-                # serializes with compute through the remote tunnel
-                # (tools/profile_pipeline.py: +95 ms/step at f32)
-                h2d_dtype="float16",
-                # NB: remat_policy=dots_nowide is faster on the isolated
-                # step (185 vs 216 ms) but SLOWER end-to-end here (55 vs
-                # 77 samples/s): its extra residual memory next to the
-                # resident eval executable pushes HBM into allocator
-                # churn. The default 'min' wins at trainer level.
-            )
-        else:  # CPU smoke: tiny encoders, tiny data
-            from wav2vec2forbrain_tpu.args.base_args import (
-                PRETRAINED_LATENT_SIZES,
-            )
-            from wav2vec2forbrain_tpu.models.conformer import (
-                ConformerEncoderConfig,
-            )
-
-            impl.encoder_config_for_checkpoint = lambda ckpt: (
-                "conformer",
-                ConformerEncoderConfig.tiny_test(),
-            )
-            PRETRAINED_LATENT_SIZES[
-                "facebook/wav2vec2-conformer-rope-large-960h-ft"
-            ] = 96
-            gen = dict(
-                session_names=sessionNames[:2],
-                n_trials=8,
-                n_blocks=2,
-                test_dir_n_trials=4,
-            )
-            run_cfg = dict(
-                batch_size=4,
-                epochs=2,
-                compute_dtype="float32",
-                pad_to_multiple=256,
-                target_pad_to_multiple=32,
-            )
-
-        splits = make_synthetic_splits_dir(
-            os.path.join(tmp, "data"), seed=0, **gen
-        )
-        yaml_cfg = YamlConfigModel(
-            cache_dir=os.path.join(tmp, "cache"),
-            fig_dir=os.path.join(tmp, "figs"),
-            n3gram_lm_model_path=os.path.join(tmp, "missing_3gram.arpa"),
-            n5gram_lm_model_path=os.path.join(tmp, "missing_5gram.arpa"),
-            dataset_splits_dir=splits,
-            wandb_api_key="offline",
-        )
-        config = dict(
-            experiment_type="b2p2t_gru+w2v_conformer",
-            wav2vec_checkpoint="facebook/wav2vec2-conformer-rope-large-960h-ft",
-            tokenizer_checkpoint="facebook/wav2vec2-conformer-rope-large-960h-ft",
-            learning_rate=1e-3,
-            unfreeze_strategy="brain_encoder+w2v",
-            w2v_learning_rate=1e-4,
-            w2v_warmup_start_step=0,
-            w2v_warmup_steps=3,
-            w2v_skip_loading_weights=True,  # random init: no HF download
-            scan_layers="auto",
-            return_best_model=False,  # keep tunnel D2H out of the timing
-            use_wandb=False,
-            seed=0,
-            **run_cfg,
-        )
-        t0 = time.perf_counter()
-        exp = impl.B2TGruAndW2VConformerExperiment(config, yaml_cfg)
-        exp.run()
-        wall = time.perf_counter() - t0
-
-        with open(os.path.join(exp.results_dir, "metrics.jsonl")) as f:
-            rows = [json.loads(line) for line in f]
-        tput = [
-            row["train_samples_per_sec_per_chip"]
-            for row in rows
-            if row.get("_type") == "metrics"
-            and "train_samples_per_sec_per_chip" in row
-        ]
-        # median over the warm epochs: single-epoch readings swing ±20% with
-        # transient tunnel/host conditions on remote-attached TPUs
-        warm = tput[1:] or tput
-        return float(np.median(warm)), wall
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(exp.results_dir, "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    tput = [
+        row["train_samples_per_sec_per_chip"]
+        for row in rows
+        if row.get("_type") == "metrics"
+        and "train_samples_per_sec_per_chip" in row
+    ]
+    # median over the warm epochs: epoch 1 contains the jit compiles, and
+    # single-epoch readings swing ±20% with transient tunnel/host conditions
+    warm = tput[1:] or tput
+    return float(np.median(warm)), tput, wall
 
 
 def main():
@@ -292,16 +292,64 @@ def main():
                     time.sleep(wait)
         raise last
 
-    isolated = retry(lambda: bench_isolated_step(on_accel))
-    try:  # optional extra: never let it kill the headline measurement
-        w2v_base = (
-            retry(lambda: bench_isolated_step(on_accel, "w2v_base"), 2)
-            if on_accel
-            else None
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    extra = {}
+    try:
+        isolated = retry(lambda: bench_isolated_step(tmp, on_accel))
+        e2e, epochs_tput, e2e_wall = retry(
+            lambda: bench_e2e_trainer(tmp, on_accel)
         )
-    except Exception:
-        w2v_base = None
-    e2e, e2e_wall = retry(lambda: bench_e2e_trainer(on_accel))
+
+        warm = epochs_tput[1:] or epochs_tput
+        spread = (max(warm) / min(warm) - 1.0) if len(warm) > 1 else 0.0
+        extra = {
+            "isolated_train_step_samples_per_sec_per_chip": round(isolated, 2),
+            "isolated_vs_baseline": round(
+                isolated / A100_CONFORMER_SAMPLES_PER_SEC_EST, 3
+            ),
+            "per_epoch_samples_per_sec_per_chip": [
+                round(t, 2) for t in epochs_tput
+            ],
+            "best_epoch_samples_per_sec_per_chip": round(max(warm), 2),
+            "warm_epoch_spread": round(spread, 3),
+            # >25% spread between warm epochs = transient tunnel/host
+            # weather; the median headline is then a weather report, not a
+            # capability number — flag it loudly
+            "spread_warning": spread > 0.25,
+            "e2e_run_wall_s": round(e2e_wall, 1),
+        }
+
+        if on_accel:
+            # second model family (fft-sweep wav2vec2-base, bs 64; A100
+            # measured ≈87 samples/s incl. eval): best-effort — its remote
+            # compiles trip transient 500s more often, and a failure only
+            # nulls these extras, never the headline
+            try:
+                w2v_iso = retry(
+                    lambda: bench_isolated_step(tmp, on_accel, "w2v_base"), 2
+                )
+                extra["w2v_base_fft_isolated_samples_per_sec_per_chip"] = round(
+                    w2v_iso, 2
+                )
+            except Exception:
+                extra["w2v_base_fft_isolated_samples_per_sec_per_chip"] = None
+            try:
+                w2v_e2e, w2v_epochs, _wall = retry(
+                    lambda: bench_e2e_trainer(tmp, on_accel, "w2v_base"), 2
+                )
+                extra["w2v_base_fft_e2e_samples_per_sec_per_chip"] = round(
+                    w2v_e2e, 2
+                )
+                extra["w2v_base_fft_e2e_vs_a100"] = round(
+                    w2v_e2e / A100_W2V_BASE_SAMPLES_PER_SEC_MEASURED, 3
+                )
+                extra["w2v_base_per_epoch"] = [
+                    round(t, 2) for t in w2v_epochs
+                ]
+            except Exception:
+                extra["w2v_base_fft_e2e_samples_per_sec_per_chip"] = None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     suffix = "" if on_accel else "_CPU_SMOKE"
     print(
@@ -314,20 +362,7 @@ def main():
                 "vs_baseline": round(
                     e2e / A100_CONFORMER_SAMPLES_PER_SEC_EST, 3
                 ),
-                "extra": {
-                    "isolated_train_step_samples_per_sec_per_chip": round(
-                        isolated, 2
-                    ),
-                    "isolated_vs_baseline": round(
-                        isolated / A100_CONFORMER_SAMPLES_PER_SEC_EST, 3
-                    ),
-                    # second model family: fft-sweep wav2vec2-base shape,
-                    # bs 64 (A100 measured ≈ 87 samples/s incl. eval)
-                    "w2v_base_fft_isolated_samples_per_sec_per_chip": (
-                        round(w2v_base, 2) if w2v_base else None
-                    ),
-                    "e2e_run_wall_s": round(e2e_wall, 1),
-                },
+                "extra": extra,
             }
         )
     )
