@@ -423,3 +423,139 @@ def test_full_model_adam_step_parity(ref_env, tmp_path, monkeypatch, family):
             atol=3e-5,
             err_msg=str(path_r),
         )
+
+
+# --- aux-head / intermediate-loss hooks ---------------------------------------
+
+
+@pytest.mark.parametrize("squared", [False, True])
+def test_aux_head_combined_loss_parity(ref_env, tmp_path, squared):
+    """The dormant reference hooks (pre_w2v_head_for_additional_loss +
+    additonal_loss_weight/additional_loss_squared,
+    ref: src/model/w2v_custom_feat_extractor.py:30-32,96-118) against our
+    aux_head_vocab_size spec: combined loss, intermediate/combined metrics,
+    and ModelOutput.hidden_states must match the torch composition with a
+    matched toy CTC head."""
+    import dataclasses
+
+    from torch import nn
+
+    from src.model.b2tmodel import B2TModel as RefB2TModel
+    from src.model.b2tmodel import ModelOutput as RefModelOutput
+    from src.model.w2v_custom_feat_extractor import (
+        W2VBrainEncoderModel,
+        W2VBrainEncoderModelArgs,
+    )
+    from src.args.base_args import PRETRAINED_LATENT_SIZES
+    from src.model.brain_feature_extractor import (
+        bfe_w_preprocessing_from_config,
+    )
+    from transformers import Wav2Vec2Config
+
+    class ToyCtcHead(RefB2TModel):
+        """Linear -> CTC over the pre-encoder latents, mirroring how the
+        reference's phoneme-head models compute their loss."""
+
+        def __init__(self, hidden, vocab):
+            super().__init__()
+            self.linear = nn.Linear(hidden, vocab)
+            self.loss = nn.CTCLoss(blank=0, reduction="mean", zero_infinity=True)
+
+        def forward(self, batch):
+            logits = self.linear(batch.input)
+            loss = self.loss(
+                torch.log_softmax(logits, -1).transpose(0, 1),
+                batch.target,
+                batch.input_lens,
+                batch.target_lens,
+            )
+            return RefModelOutput(logits, {}, loss=loss)
+
+    ckpt_dir = str(tmp_path / "w2v_tiny_aux")
+    Wav2Vec2Config(
+        hidden_size=HIDDEN,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=False,
+        vocab_size=32,
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        final_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        attn_implementation="eager",
+    ).save_pretrained(ckpt_dir)
+    PRETRAINED_LATENT_SIZES[ckpt_dir] = HIDDEN
+
+    torch.manual_seed(31)
+    brain = bfe_w_preprocessing_from_config(_bfe_args(), None, ckpt_dir)
+    aux = ToyCtcHead(HIDDEN, 32)
+    model = W2VBrainEncoderModel(
+        W2VBrainEncoderModelArgs(),
+        brain,
+        ckpt_dir,
+        skip_loading_weights=True,
+        pre_w2v_head_for_additional_loss=aux,
+        additonal_loss_weight=0.7,
+        additional_loss_squared=squared,
+    )
+    model.eval()
+    d = _make_batch()
+    with torch.no_grad():
+        ref_out = model.forward(_ref_batch(d))
+
+    our_cfg = Wav2Vec2EncoderConfig.tiny_test(
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        final_dropout=0.0,
+        layerdrop=0.0,
+    )
+    spec = dataclasses.replace(
+        _model_spec("wav2vec2", our_cfg),
+        aux_head_vocab_size=32,
+        additional_loss_weight=0.7,
+        additional_loss_squared=squared,
+    )
+    params, state = _our_params(model, "wav2vec2")
+    params["aux_head"] = {
+        "kernel": jnp.asarray(aux.linear.weight.detach().numpy().T),
+        "bias": jnp.asarray(aux.linear.bias.detach().numpy()),
+    }
+    ours = forward_with_loss(
+        params,
+        state,
+        spec,
+        jnp.asarray(d["x"]),
+        jnp.asarray(d["day_idxs"]),
+        jnp.asarray(d["input_lens"]),
+        jnp.asarray(d["targets"].astype(np.int32)),
+        jnp.asarray(d["target_lens"]),
+        rng=None,
+        train=False,
+        return_hidden=True,
+    )
+
+    np.testing.assert_allclose(
+        float(ours["loss"]), float(ref_out.loss), atol=2e-5, rtol=1e-5
+    )
+    for key in ("intermediate_loss", "combined_loss"):
+        np.testing.assert_allclose(
+            float(ours["metrics"][key]),
+            float(ref_out.metrics[key]),
+            atol=2e-5,
+            rtol=1e-5,
+            err_msg=key,
+        )
+    assert float(ours["metrics"]["ctc_loss"]) == pytest.approx(
+        float(ref_out.metrics["ctc_loss"]), rel=1e-5, abs=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["hidden_states"]),
+        ref_out.hidden_states.numpy(),
+        atol=1e-4,
+    )

@@ -67,6 +67,34 @@ class _GruW2VCommonArgs(B2TArgsModel, B2P2TBrainFeatureExtractorArgsModel):
     lm_decode_alpha: float = 0.5
     lm_decode_beta: float = 0.5
     lm_score_boundary: bool = False
+    # Intermediate-loss hooks: the reference W2VBrainEncoderModel accepts a
+    # pre_w2v_head_for_additional_loss model plus weight/squared knobs in its
+    # constructor but no registered experiment passes them
+    # (ref: src/model/w2v_custom_feat_extractor.py:30-32,96-118); here the
+    # equivalent CTC head on the pre-encoder latents is CLI-activatable.
+    aux_head_vocab_size: Optional[int] = Field(
+        default=None,
+        description=(
+            "Enable the intermediate CTC head on the pre-encoder brain "
+            "latents with this output vocab size; adds "
+            "intermediate/combined loss metrics and trains on the combined "
+            "loss"
+        ),
+    )
+    additional_loss_weight: Optional[float] = Field(
+        default=None,
+        description=(
+            "Weight of the intermediate head's loss in the combined loss "
+            "ctc + w * aux (1.0 when unset)"
+        ),
+    )
+    additional_loss_squared: Optional[bool] = Field(
+        default=None,
+        description=(
+            "Square the intermediate loss before weighting (combined loss "
+            "becomes ctc + w * aux^2)"
+        ),
+    )
 
 
 class B2TGruAndW2VArgsModel(_GruW2VCommonArgs, W2VBrainEncoderModelArgs):

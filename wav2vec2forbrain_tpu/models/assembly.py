@@ -84,6 +84,15 @@ class ModelSpec:
     use_pallas: bool = False
     scan_layers: bool = False  # conformer layers as one lax.scan (fast compile)
     remat_policy: str = "min"  # scan-body remat: min | dots | none
+    # Optional intermediate CTC head on the PRE-encoder brain latents with a
+    # combined loss `ctc + w * (aux | aux^2)` — the reference
+    # W2VBrainEncoderModel's dormant pre_w2v_head_for_additional_loss /
+    # additonal_loss_weight / additional_loss_squared hooks
+    # (ref: src/model/w2v_custom_feat_extractor.py:30-32,57-63,96-118).
+    # Dormant there too: no registered reference experiment passes them.
+    aux_head_vocab_size: Optional[int] = None
+    additional_loss_weight: float = 1.0
+    additional_loss_squared: bool = False
 
     @property
     def encoder_cfg(self):
@@ -123,6 +132,13 @@ class ModelSpec:
             use_pallas=use_pallas,
             scan_layers=scan_layers,
             remat_policy=remat_policy,
+            aux_head_vocab_size=getattr(bfe_args, "aux_head_vocab_size", None),
+            additional_loss_weight=(
+                getattr(bfe_args, "additional_loss_weight", None) or 1.0
+            ),
+            additional_loss_squared=bool(
+                getattr(bfe_args, "additional_loss_squared", False)
+            ),
         )
 
 
@@ -179,6 +195,11 @@ def init_model_params(rng, spec: ModelSpec) -> Tuple[dict, dict]:
             encoder, enc_state = stack_conformer_layers(encoder, enc_state)
         state = {"encoder": enc_state}
     params = {"brain": brain, "w2v": {"encoder": encoder, "lm_head": head}}
+    if spec.aux_head_vocab_size is not None:
+        k_aux = jax.random.fold_in(k_head, 1)
+        params["aux_head"] = init_linear(
+            k_aux, spec.latent_size, spec.aux_head_vocab_size
+        )
     return params, state
 
 
@@ -202,8 +223,18 @@ def forward(
     input_lens: jnp.ndarray,
     rng: Optional[jax.Array] = None,
     train: bool = False,
+    return_extras: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
-    """Batch (B, T, 256) -> (logits (B, T', vocab), logit_lens (B,), new_state)."""
+    """Batch (B, T, 256) -> (logits (B, T', vocab), logit_lens (B,), new_state).
+
+    With return_extras=True a 4th dict rides along:
+    - "hidden_states": the encoder's last hidden states, the tensor the
+      lm_head projects (ref ModelOutput.hidden_states,
+      src/model/w2v_custom_feat_extractor.py:144-153 — post final-dropout
+      there; identical in eval mode, where the latent analysis consumes it)
+    - "aux_logits" (aux head configured): intermediate CTC head over the
+      PRE-encoder brain latents
+    The flag is trace-time static: the default-off program is unchanged."""
     cd = spec.compute_dtype
     # inputs may arrive in a half-precision wire format (--h2d_dtype); the
     # preprocessing chain itself is always float32
@@ -274,6 +305,7 @@ def forward(
         logits = apply_lm_head(
             params["w2v"]["lm_head"], hidden, spec.w2v_cfg, head_rng, train, cd
         )
+        last_hidden = hidden  # pre-final-dropout; == post-dropout in eval
     else:
         cfg = spec.conformer_cfg
         if "layers_stacked" in params["w2v"]["encoder"]:
@@ -297,8 +329,16 @@ def forward(
         # ForCTC head: final dropout + vocab projection
         head_rng, hidden = _dropout(head_rng, hidden, cfg.final_dropout, train)
         logits = apply_linear(params["w2v"]["lm_head"], hidden, cd)
+        last_hidden = hidden
 
-    return logits.astype(jnp.float32), out_lens, new_state
+    if not return_extras:
+        return logits.astype(jnp.float32), out_lens, new_state
+    extras = {"hidden_states": last_hidden.astype(jnp.float32)}
+    if spec.aux_head_vocab_size is not None:
+        extras["aux_logits"] = apply_linear(
+            params["aux_head"], latents, cd
+        ).astype(jnp.float32)
+    return logits.astype(jnp.float32), out_lens, new_state, extras
 
 
 def forward_with_loss(
@@ -313,11 +353,22 @@ def forward_with_loss(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     sample_mask: Optional[jnp.ndarray] = None,
+    return_hidden: bool = False,
 ) -> ModelOutput:
-    logits, logit_lens, new_state = forward(
-        params, state, spec, x, day_idxs, input_lens, rng, train
+    """With an aux head configured the returned `loss` is the COMBINED loss
+    `ctc + w * (aux | aux^2)` and `metrics` carries ctc/intermediate/combined
+    scalars under the reference's names
+    (ref: src/model/w2v_custom_feat_extractor.py:96-129); without one,
+    `loss` is the plain CTC loss and `metrics` is {}."""
+    aux_on = spec.aux_head_vocab_size is not None
+    fwd = forward(
+        params, state, spec, x, day_idxs, input_lens, rng, train,
+        return_extras=(aux_on or return_hidden),
     )
+    logits, logit_lens, new_state = fwd[:3]
+    extras = fwd[3] if len(fwd) > 3 else {}
     loss = None
+    metrics = {}
     if targets is not None:
         loss = ctc_loss(
             logits,
@@ -327,9 +378,36 @@ def forward_with_loss(
             spec.ctc_loss_reduction,
             sample_mask=sample_mask,
         )
-    return ModelOutput(
-        logits=logits, logit_lens=logit_lens, loss=loss, state=new_state
+        if aux_on:
+            # intermediate head: CTC on the pre-encoder latents against the
+            # same targets/lengths (the reference forwards batch.target and
+            # the brain logit_lens to the aux model,
+            # w2v_custom_feat_extractor.py:120-136)
+            aux_loss = ctc_loss(
+                extras["aux_logits"],
+                logit_lens,
+                targets,
+                target_lens,
+                spec.ctc_loss_reduction,
+                sample_mask=sample_mask,
+            )
+            metrics["ctc_loss"] = loss
+            metrics["intermediate_loss"] = aux_loss
+            aux_term = aux_loss**2 if spec.additional_loss_squared else aux_loss
+            if spec.additional_loss_squared:
+                metrics["intermediate_loss_squared"] = aux_term
+            loss = loss + aux_term * spec.additional_loss_weight
+            metrics["combined_loss"] = loss
+    out = ModelOutput(
+        logits=logits,
+        logit_lens=logit_lens,
+        loss=loss,
+        state=new_state,
+        metrics=metrics,
     )
+    if return_hidden:
+        out["hidden_states"] = extras["hidden_states"]
+    return out
 
 
 # --- optimizer param labeling -------------------------------------------------
@@ -360,4 +438,10 @@ def param_labels(params: dict, unfreeze_strategy: str) -> dict:
 
     w2v_label = "w2v" if unfreeze_strategy == "brain_encoder+w2v" else "frozen"
     labels_w2v = label_tree(params["w2v"], w2v_label)
-    return {"brain": labels_brain, "w2v": labels_w2v}
+    labels = {"brain": labels_brain, "w2v": labels_w2v}
+    if "aux_head" in params:
+        # the intermediate head consumes brain latents; it trains with the
+        # brain group's lr schedule (the reference's aux model would sit in
+        # the default param group, i.e. the non-w2v one)
+        labels["aux_head"] = label_tree(params["aux_head"], "brain")
+    return labels

@@ -94,6 +94,9 @@ class TrainStepOut(NamedTuple):
     pred_ids: jnp.ndarray  # greedy argmax on device — tiny D2H transfer
     logit_lens: jnp.ndarray
     rng: jax.Array
+    # per-batch scalar metrics (ctc/intermediate/combined losses when the
+    # aux head is configured; {} otherwise — empty dicts add no jit outputs)
+    metrics: Any = {}
 
 
 def build_steps(
@@ -185,6 +188,7 @@ def build_steps(
             jnp.argmax(out["logits"], axis=-1).astype(jnp.int32),
             out["logit_lens"],
             rng,
+            out["metrics"],
         )
 
     def eval_step(trainable, frozen, model_state, batch):
@@ -205,7 +209,7 @@ def build_steps(
         if loss is None:
             loss = jnp.float32(0.0)
         pred_ids = jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
-        return loss, out["logits"], out["logit_lens"], pred_ids
+        return loss, out["logits"], out["logit_lens"], pred_ids, out["metrics"]
 
     return (
         jax.jit(train_step, donate_argnums=(0, 2, 3)),

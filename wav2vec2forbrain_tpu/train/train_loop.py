@@ -282,9 +282,13 @@ class Trainer:
         def process(out, host_batch, true_b, i):
             loss = float(out.loss)
             pred_ids = np.asarray(out.pred_ids)[:true_b]
-            evaluator.track_batch(
-                {"loss": loss, "pred_ids": pred_ids}, host_batch
-            )
+            preds = {"loss": loss, "pred_ids": pred_ids}
+            if out.metrics:
+                # aux-head scalars (ctc/intermediate/combined loss)
+                preds["metrics"] = {
+                    k: float(v) for k, v in out.metrics.items()
+                }
+            evaluator.track_batch(preds, host_batch)
             if i % self.config.log_every_n_batches == (
                 self.config.log_every_n_batches - 1
             ):
@@ -339,11 +343,13 @@ class Trainer:
         pending = None
 
         def process(outs, host_batch, true_b, i):
-            loss, logits, logit_lens, pred_ids = outs
+            loss, logits, logit_lens, pred_ids, metrics = outs
             preds = {
                 "loss": float(loss),
                 "pred_ids": np.asarray(pred_ids)[:true_b],
             }
+            if metrics:
+                preds["metrics"] = {k: float(v) for k, v in metrics.items()}
             if need_logits:
                 preds["logits"] = np.asarray(logits)[:true_b]
                 preds["logit_lens"] = np.asarray(logit_lens)[:true_b]
