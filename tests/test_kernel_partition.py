@@ -80,6 +80,36 @@ def test_gru_partitions_with_weight_grad_psum(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_gru_dir_variant_partitions_without_allgather(mesh):
+    """The per-direction kernel (auto-routed for hidden sizes >= 512) must
+    partition like the fused one. dW/db are computed OUTSIDE the kernel by
+    an XLA einsum over the sharded batch, so no kernel-level reduce is
+    declared — GSPMD inserts the batch-sum all-reduce for the einsum."""
+    from wav2vec2forbrain_tpu.ops.pallas_gru import gru_recurrence_dir
+
+    T, B, H = 12, 8, 32
+    gi0 = jax.random.normal(jax.random.PRNGKey(0), (T, 2, B, 3 * H))
+    w = jax.random.normal(jax.random.PRNGKey(1), (2, H, 3 * H)) * 0.1
+    bb = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 3 * H)) * 0.1
+    h0 = jax.random.normal(jax.random.PRNGKey(3), (2, B, H)) * 0.1
+    g = jax.random.normal(jax.random.PRNGKey(4), (T, 2, B, H))
+
+    def loss(gi, w, bb, h0):
+        return jnp.sum(gru_recurrence_dir(gi, w, bb, h0) * g)
+
+    gref = jax.grad(loss, argnums=(0, 1, 2, 3))(gi0, w, bb, h0)
+    gi = jax.device_put(
+        gi0, NamedSharding(mesh, P(None, None, "data", None))
+    )
+    h0s = jax.device_put(h0, NamedSharding(mesh, P(None, "data", None)))
+    gr = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    hlo = gr.lower(gi, w, bb, h0s).compile().as_text()
+    assert hlo.count("all-gather") == 0
+    assert hlo.count("all-reduce") > 0  # dw/db batch sum over dp shards
+    for a, b in zip(gr(gi, w, bb, h0s), gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_preproc_partitions_without_allgather(mesh):
     B, T = 8, 64
     x0 = jax.random.normal(jax.random.PRNGKey(0), (B, T, 256))

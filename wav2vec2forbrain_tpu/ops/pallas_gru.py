@@ -595,7 +595,49 @@ def gru_recurrence_dir(gi, w_hh, b_hh, h0, compute_dtype=jnp.float32):
 
     gi: (T, 2, B, 3H) f32; w_hh: (2, H, 3H); b_hh: (2, 1, 3H);
     h0: (2, B, H) f32 -> ys (T, 2, B, H) f32."""
-    return _fwd_impl_dir(gi, w_hh, b_hh, h0, compute_dtype)
+    return _fwd_partitioned_dir(compute_dtype)(gi, w_hh, b_hh, h0)
+
+
+# Same batch-parallel declaration as gru_recurrence above: without it the
+# dir-variant's pallas_calls are opaque custom calls that GSPMD would
+# all-gather and run replicated on a dp mesh (silent scaling loss the
+# interpret-mode CPU tests cannot catch). Weights replicate; dW/db are
+# computed OUTSIDE in XLA (einsum over the sharded batch), so no
+# reduce_outputs are needed here.
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned_dir(compute_dtype):
+    from wav2vec2forbrain_tpu.parallel.kernel_partition import (
+        partition_kernel,
+    )
+
+    def impl(gi, w_hh, b_hh, h0):
+        return _fwd_impl_dir(gi, w_hh, b_hh, h0, compute_dtype)
+
+    return partition_kernel(
+        impl,
+        arg_factors=[{0: 2}, None, None, {0: 1}],
+        arg_ndims=(4, 3, 3, 3),
+        out_factors=[{0: 2}],
+        out_ndims=(4,),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned_dir(compute_dtype):
+    from wav2vec2forbrain_tpu.parallel.kernel_partition import (
+        partition_kernel,
+    )
+
+    def impl(gi, w_hh, b_hh, h0, ys, g):
+        return _bwd_impl_dir(gi, w_hh, b_hh, h0, ys, g, compute_dtype)
+
+    return partition_kernel(
+        impl,
+        arg_factors=[{0: 2}, None, None, {0: 1}, {0: 2}, {0: 2}],
+        arg_ndims=(4, 3, 3, 3, 4, 4),
+        out_factors=[{0: 2}, {0: 2}, {0: 1}],
+        out_ndims=(4, 4, 3),
+    )
 
 
 def _fwd_impl_dir(gi, w_hh, b_hh, h0, compute_dtype):
@@ -625,19 +667,38 @@ def _fwd_impl_dir(gi, w_hh, b_hh, h0, compute_dtype):
 
 
 def _vjp_fwd_dir(gi, w_hh, b_hh, h0, compute_dtype):
-    ys = _fwd_impl_dir(gi, w_hh, b_hh, h0, compute_dtype)
+    # route through the PARTITIONED wrapper (see _vjp_fwd above)
+    ys = _fwd_partitioned_dir(compute_dtype)(gi, w_hh, b_hh, h0)
     return ys, (gi, w_hh, b_hh, h0, ys)
 
 
 def _vjp_bwd_dir(compute_dtype, residuals, g):
     gi, w_hh, b_hh, h0, ys = residuals
+    h_sz = gi.shape[3] // 3
+    dgi, r_seq, dh0 = _bwd_partitioned_dir(compute_dtype)(
+        gi, w_hh, b_hh, h0, ys, g
+    )
+    # dgh = dgi with the n-gate column scaled by r; dW_hh/db_hh fall out of
+    # one large MXU-friendly einsum over all timesteps (XLA, f32)
+    dgh = jnp.concatenate(
+        [dgi[..., : 2 * h_sz], dgi[..., 2 * h_sz :] * r_seq], axis=-1
+    )
+    hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)  # (T, 2, B, H)
+    dw = jnp.einsum(
+        "tdbh,tdbk->dhk", hprev, dgh, preferred_element_type=jnp.float32
+    )
+    db = jnp.sum(dgh, axis=(0, 2), keepdims=False)[:, None, :]  # (2, 1, 3H)
+    return dgi, dw, db.reshape(b_hh.shape), dh0
+
+
+def _bwd_impl_dir(gi, w_hh, b_hh, h0, ys, g, compute_dtype):
     t_len = gi.shape[0]
     d, b_sz, h3 = gi.shape[1], gi.shape[2], gi.shape[3]
     h_sz = h3 // 3
     kern = functools.partial(
         _bwd_kernel_dir, t_len=t_len, compute_dtype=compute_dtype
     )
-    dgi, r_seq, dh0 = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # gi
@@ -666,17 +727,6 @@ def _vjp_bwd_dir(compute_dtype, residuals, g):
         ys,
         g.astype(jnp.float32),
     )
-    # dgh = dgi with the n-gate column scaled by r; dW_hh/db_hh fall out of
-    # one large MXU-friendly einsum over all timesteps (XLA, f32)
-    dgh = jnp.concatenate(
-        [dgi[..., : 2 * h_sz], dgi[..., 2 * h_sz :] * r_seq], axis=-1
-    )
-    hprev = jnp.concatenate([h0[None], ys[:-1]], axis=0)  # (T, 2, B, H)
-    dw = jnp.einsum(
-        "tdbh,tdbk->dhk", hprev, dgh, preferred_element_type=jnp.float32
-    )
-    db = jnp.sum(dgh, axis=(0, 2), keepdims=False)[:, None, :]  # (2, 1, 3H)
-    return dgi, dw, db.reshape(b_hh.shape), dh0
 
 
 gru_recurrence_dir.defvjp(_vjp_fwd_dir, _vjp_bwd_dir)
