@@ -172,3 +172,66 @@ def test_tts_generation_offline_reuses_existing(tmp_path):
     assert out["wav_paths"][0] is not None
     assert out["wav_paths"][1] is None
     assert out["missing"] == 1
+
+
+def test_post_encoder_representations(tmp_path, synthetic_splits_dir, monkeypatch):
+    """Reference parity for the POST-encoder comparison: both streams run
+    through the w2v encoder and pre/post spaces are compared
+    (ref: src/analysis/latent_analysis_util.py:126-161 audio, :165-214
+    brain). Pre rows must equal the pre-only embed_brain path."""
+    import jax
+
+    import wav2vec2forbrain_tpu.experiments.impl as impl
+    from tests.test_train_e2e import base_config, tiny_yaml_config
+    from wav2vec2forbrain_tpu.args.base_args import PRETRAINED_LATENT_SIZES
+    from wav2vec2forbrain_tpu.models.wav2vec2 import Wav2Vec2EncoderConfig
+    from wav2vec2forbrain_tpu.analysis.latent_analysis import (
+        embed_audio_representations,
+        embed_brain,
+        embed_brain_representations,
+        representation_statistics,
+    )
+    from wav2vec2forbrain_tpu.models.audio_frontend import (
+        FeatureEncoderConfig,
+        init_feature_encoder_params,
+    )
+
+    cfg = Wav2Vec2EncoderConfig.tiny_test()
+    monkeypatch.setattr(
+        impl, "encoder_config_for_checkpoint", lambda c: ("wav2vec2", cfg)
+    )
+    monkeypatch.setitem(
+        PRETRAINED_LATENT_SIZES, "facebook/wav2vec2-base-960h", 96
+    )
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    exp = impl.B2TGruAndW2VExperiment(base_config(), yaml_cfg)
+
+    brain = embed_brain_representations(exp, max_batches=1)
+    assert brain["pre"].shape[1] == 96
+    assert brain["post"].shape == brain["pre"].shape  # hidden == latent here
+    assert brain["pre_agg"].shape[0] == brain["post_agg"].shape[0]
+    # the pre space must be exactly what the pre-only path computes
+    np.testing.assert_allclose(
+        brain["pre"], embed_brain(exp, max_batches=1), atol=1e-5
+    )
+    # the encoder must actually transform the representation
+    assert not np.allclose(brain["post"], brain["pre"], atol=1e-3)
+
+    fe_cfg = FeatureEncoderConfig(
+        conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+        hidden_size=96,
+    )
+    fe_params = init_feature_encoder_params(jax.random.PRNGKey(0), fe_cfg)
+    audio_batches = [
+        np.random.default_rng(0).standard_normal((2, 400)).astype(np.float32)
+    ]
+    enc_params = jax.device_get(exp._merged_params())["w2v"]["encoder"]
+    audio = embed_audio_representations(
+        audio_batches, fe_params, fe_cfg, enc_params, cfg
+    )
+    assert audio["post"].shape[1] == 96
+
+    stats = representation_statistics(brain, audio)
+    assert "centroid_cosine" in stats["pre"]
+    assert "centroid_cosine" in stats["post"]
+    assert np.isfinite(stats["post"]["centroid_cosine"])

@@ -4,7 +4,11 @@ Replaces the reference's latent-analysis tooling
 (ref: src/analysis/latent_analysis_util.py:39-222): embed neural recordings
 through the trained brain encoder and real speech through the audio conv
 frontend, then compare the two latent distributions (cosine similarity,
-PCA projections). The ElevenLabs TTS generation step
+PCA projections) in BOTH spaces — the pre-encoder features and the
+post-w2v-encoder hidden states (the reference's Representations carry
+(pre, post) pairs, per-timestep and per-sample-mean;
+latent_analysis_util.py:126-161 audio, :165-214 brain). The ElevenLabs TTS
+generation step
 (`generate_speech_audio`) mirrors the reference's resume-capable
 generate→mp3→wav flow and only reaches the network when an API key is
 configured; the TTS and mp3→wav callables are injectable so the
@@ -183,6 +187,117 @@ def embed_audio(
         )
         outs.append(np.asarray(h).reshape(-1, h.shape[-1]))
     return np.concatenate(outs, axis=0)
+
+
+def embed_brain_representations(
+    experiment, max_batches: Optional[int] = None
+) -> Dict[str, np.ndarray]:
+    """Brain stream PRE- and POST-encoder representations, per-timestep and
+    per-sample-mean — the reference's Representations(non_aggregated,
+    aggregated) with both spaces
+    (ref: src/analysis/latent_analysis_util.py:165-214: brain latents go
+    through model.w2v_encoder.forward and the returned hidden_states are
+    compared alongside the features)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec2forbrain_tpu.models.assembly import forward
+
+    spec = experiment.spec
+    params = jax.tree_util.tree_map(jnp.asarray, experiment._merged_params())
+    state = experiment.model_state
+
+    @jax.jit
+    def full_forward(x, day_idxs, input_lens):
+        _logits, out_lens, _state, extras = forward(
+            params, state, spec, x, day_idxs, input_lens,
+            rng=None, train=False, return_extras=True,
+        )
+        return extras["latents"], extras["hidden_states"], out_lens
+
+    pre_t, post_t, pre_a, post_a = [], [], [], []
+    for i, batch in enumerate(experiment.dataloader_test):
+        if max_batches is not None and i >= max_batches:
+            break
+        lat, hid, lens = full_forward(
+            jnp.asarray(batch.input),
+            jnp.asarray(batch.day_idxs),
+            jnp.asarray(batch.input_lens),
+        )
+        lat, hid, lens = np.asarray(lat), np.asarray(hid), np.asarray(lens)
+        for row_pre, row_post, l in zip(lat, hid, lens):
+            n = max(int(l), 1)
+            pre_t.append(row_pre[:n])
+            post_t.append(row_post[:n])
+            pre_a.append(row_pre[:n].mean(axis=0))
+            post_a.append(row_post[:n].mean(axis=0))
+    return {
+        "pre": np.concatenate(pre_t, axis=0),
+        "post": np.concatenate(post_t, axis=0),
+        "pre_agg": np.stack(pre_a),
+        "post_agg": np.stack(post_a),
+    }
+
+
+def embed_audio_representations(
+    audio_batches,
+    frontend_params,
+    frontend_cfg,
+    encoder_params,
+    encoder_cfg,
+) -> Dict[str, np.ndarray]:
+    """Audio stream PRE- and POST-encoder representations: conv feature
+    encoder + projection, then the same w2v transformer encoder
+    (ref: latent_analysis_util.py:126-161)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec2forbrain_tpu.models.audio_frontend import apply_audio_frontend
+    from wav2vec2forbrain_tpu.models.wav2vec2 import (
+        apply_w2v_encoder,
+        apply_w2v_encoder_scanned,
+    )
+
+    # accept either encoder layout (per-layer list or scan-stacked)
+    enc = (
+        apply_w2v_encoder_scanned
+        if "layers_stacked" in encoder_params
+        else apply_w2v_encoder
+    )
+
+    @jax.jit
+    def fwd(audio):
+        feats = apply_audio_frontend(frontend_params, audio, frontend_cfg)
+        hidden = enc(
+            encoder_params, feats, encoder_cfg, rng=None, train=False
+        )
+        return feats, hidden
+
+    pre_t, post_t, pre_a, post_a = [], [], [], []
+    for audio in audio_batches:
+        feats, hidden = fwd(jnp.asarray(audio, jnp.float32))
+        feats, hidden = np.asarray(feats), np.asarray(hidden)
+        pre_t.append(feats.reshape(-1, feats.shape[-1]))
+        post_t.append(hidden.reshape(-1, hidden.shape[-1]))
+        pre_a.append(feats.mean(axis=1))
+        post_a.append(hidden.mean(axis=1))
+    return {
+        "pre": np.concatenate(pre_t, axis=0),
+        "post": np.concatenate(post_t, axis=0),
+        "pre_agg": np.concatenate(pre_a, axis=0),
+        "post_agg": np.concatenate(post_a, axis=0),
+    }
+
+
+def representation_statistics(
+    brain: Dict[str, np.ndarray], audio: Dict[str, np.ndarray]
+) -> Dict[str, object]:
+    """latent_statistics for the pre- AND post-encoder spaces (per-timestep
+    rows; the _agg per-sample means ride along for plotting)."""
+    return {
+        "pre": latent_statistics(brain["pre"], audio["pre"]),
+        "post": latent_statistics(brain["post"], audio["post"]),
+    }
 
 
 def latent_statistics(

@@ -333,7 +333,12 @@ def forward(
 
     if not return_extras:
         return logits.astype(jnp.float32), out_lens, new_state
-    extras = {"hidden_states": last_hidden.astype(jnp.float32)}
+    extras = {
+        "hidden_states": last_hidden.astype(jnp.float32),
+        # the pre-encoder brain latents (the reference's encoded_brain.logits
+        # — what the latent analysis calls the "pre" space)
+        "latents": latents.astype(jnp.float32),
+    }
     if spec.aux_head_vocab_size is not None:
         extras["aux_logits"] = apply_linear(
             params["aux_head"], latents, cd
