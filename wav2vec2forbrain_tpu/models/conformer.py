@@ -300,7 +300,8 @@ def _batch_norm(
 
 
 def conformer_conv_module(
-    p, state, x, cfg: ConformerEncoderConfig, rng, train, compute_dtype
+    p, state, x, cfg: ConformerEncoderConfig, rng, train, compute_dtype,
+    use_pallas: bool = False,
 ):
     cd = compute_dtype or x.dtype
     y = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
@@ -309,19 +310,28 @@ def conformer_conv_module(
         y.astype(cd), p["pointwise_conv1"]["kernel"].astype(cd),
         preferred_element_type=jnp.float32,
     )
-    a, b_half = jnp.split(y, 2, axis=-1)
-    y = a * jax.nn.sigmoid(b_half)
-    # depthwise conv k=31, same padding
-    ks = cfg.conv_depthwise_kernel_size
-    pad = (ks - 1) // 2
-    y = jax.lax.conv_general_dilated(
-        y.astype(cd),
-        p["depthwise_conv"]["kernel"].astype(cd),
-        window_strides=(1,),
-        padding=[(pad, pad)],
-        dimension_numbers=("NTC", "TIO", "NTC"),
-        feature_group_count=cfg.hidden_size,
-    ).astype(jnp.float32)
+    if use_pallas:
+        # fused GLU -> depthwise (ops/pallas_conv_glu.py); the grouped conv
+        # below is the module's measured non-matmul hot spot under XLA
+        from wav2vec2forbrain_tpu.ops.pallas_conv_glu import glu_dwconv
+
+        y = glu_dwconv(
+            y, p["depthwise_conv"]["kernel"][:, 0, :], cd
+        )
+    else:
+        a, b_half = jnp.split(y, 2, axis=-1)
+        y = a * jax.nn.sigmoid(b_half)
+        # depthwise conv k=31, same padding
+        ks = cfg.conv_depthwise_kernel_size
+        pad = (ks - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            y.astype(cd),
+            p["depthwise_conv"]["kernel"].astype(cd),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=cfg.hidden_size,
+        ).astype(jnp.float32)
     y, new_bn = _batch_norm(p["batch_norm"], state["batch_norm"], y, cfg, train)
     y = ACT2FN[cfg.hidden_act](y)
     y = jnp.dot(
@@ -355,7 +365,8 @@ def conformer_layer(
     # Convolution module
     residual = x
     y, new_state, rng = conformer_conv_module(
-        p["conv_module"], state, x, cfg, rng, train, compute_dtype
+        p["conv_module"], state, x, cfg, rng, train, compute_dtype,
+        use_pallas=use_pallas,
     )
     x = residual + y
 
