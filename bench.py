@@ -184,20 +184,22 @@ def _make_experiment(tmp, on_accel, family, **overrides):
     return exp_cls(config, yaml_cfg), steps, warmup
 
 
-def bench_isolated_step(tmp, on_accel, family="conformer"):
-    """Time the experiment's own (unrolled) train step on one resident
-    batch; compiling it warms the persistent cache for the e2e phase."""
-    import gc
+def bench_isolated_step(exp, steps, warmup):
+    """Time the experiment's own train step on one resident batch.
 
-    import jax
-
+    Runs on the experiment that the e2e phase will ALSO run, so the compile
+    here IS the e2e phase's warmup: same jit objects, zero extra compile,
+    one set of executables/params/caches in HBM. (A separate experiment
+    instance would NOT reuse the compile even in-process: Mosaic kernel
+    payloads embed trace-order-dependent bytes, so a re-traced identical
+    program lowers to a different compile-cache key.)"""
     from wav2vec2forbrain_tpu.train.train_loop import Trainer
 
-    exp, steps, warmup = _make_experiment(
-        tmp, on_accel, family, scan_layers=False
-    )
     tr = Trainer(exp)
-    batch, _true_b, _hb = next(iter(tr._stream_for(exp.dataloader_train)))
+    # _put (not _stream_for): the prefetcher thread of an abandoned stream
+    # would keep device batches pinned; shape/dtype/sharding of the batch are
+    # identical either way, so the compiled program is the e2e program
+    batch, _true_b = tr._put(next(iter(exp.dataloader_train)))
     trainable, frozen = tr.trainable, tr.frozen
     opt_state, state, rng = tr.opt_state, tr.model_state, tr.rng
 
@@ -239,16 +241,42 @@ def bench_isolated_step(tmp, on_accel, family="conformer"):
         float(out.loss)
         dt = time.perf_counter() - t0
         best = max(best, batch_size * steps / dt)
-    # free the device state before the e2e phase re-allocates its own
-    del out, ev, trainable, frozen, opt_state, state, batch, tr, exp
-    gc.collect()
+    # the isolated stepping DONATED the experiment's param/opt/state buffers
+    # into its step chain; drop our refs so _reset_device_state can rebuild
+    del out, ev, trainable, frozen, opt_state, state, batch, tr
     return best
 
 
-def bench_e2e_trainer(tmp, on_accel, family="conformer"):
-    """Real Trainer run; returns (median warm-epoch samples/s/chip,
-    per-epoch list, wall seconds)."""
-    exp, _steps, _warmup = _make_experiment(tmp, on_accel, family)
+def _reset_device_state(exp):
+    """Fresh params/opt-state/rng on the SAME experiment after the isolated
+    phase consumed (donated) its device buffers — the jitted steps and their
+    compiled executables are kept (shapes unchanged), as are the device
+    dataset caches."""
+    import gc
+
+    import jax
+
+    gc.collect()
+    exp._init_rng = jax.random.PRNGKey(exp.base_config.seed)
+    exp._build_model()
+    exp.opt_state = exp.shard_params(jax.jit(exp.tx.init)(exp.trainable))
+    exp.step_rng = jax.random.PRNGKey(exp.base_config.seed + 1)
+
+
+def bench_family(tmp, on_accel, family="conformer", **overrides):
+    """One experiment, two measurements: isolated step timing (which doubles
+    as the full warmup), then the real Trainer run on the same jit programs.
+    Returns (isolated, e2e_median, per-epoch list, wall seconds).
+
+    On accelerators the encoder is explicitly UNROLLED (scan_layers=false):
+    this benchmark measures steady state at a known single-bucket shape, and
+    the unrolled step is the fast one (128 vs 216 ms). scan_layers=auto's
+    compile-cache probe serves warm RE-runs of a config across processes."""
+    cfg = dict(scan_layers=False) if on_accel else {}
+    cfg.update(overrides)
+    exp, steps, warmup = _make_experiment(tmp, on_accel, family, **cfg)
+    isolated = bench_isolated_step(exp, steps, warmup)
+    _reset_device_state(exp)
     t0 = time.perf_counter()
     exp.run()
     wall = time.perf_counter() - t0
@@ -261,10 +289,10 @@ def bench_e2e_trainer(tmp, on_accel, family="conformer"):
         if row.get("_type") == "metrics"
         and "train_samples_per_sec_per_chip" in row
     ]
-    # median over the warm epochs: epoch 1 contains the jit compiles, and
-    # single-epoch readings swing ±20% with transient tunnel/host conditions
+    # median over the warm epochs (epoch 1 still carries residual host-side
+    # start-up; single-epoch readings swing ±20% with tunnel/host conditions)
     warm = tput[1:] or tput
-    return float(np.median(warm)), tput, wall
+    return isolated, float(np.median(warm)), tput, wall
 
 
 def main():
@@ -282,22 +310,58 @@ def main():
     def retry(fn, attempts=3, wait=20.0):
         # the remote compile service throws transient HTTP 500s; a one-shot
         # bench must not die to one
+        import gc
+
         last = None
         for i in range(attempts):
             try:
                 return fn()
             except Exception as e:  # noqa: BLE001 - deliberate catch-all
-                last = e
+                print(f"bench phase attempt {i + 1} failed: {e!r}", flush=True)
+                # drop the traceback BEFORE retrying: its frames pin the
+                # failed attempt's device arrays (params/opt state), which
+                # would turn one transient failure into real HBM pressure
+                # for every following attempt
+                last = e.with_traceback(None)
+                del e
+                gc.collect()
                 if i + 1 < attempts:
                     time.sleep(wait)
+        raise last
+
+    def run_family_with_fallbacks(tmp, family):
+        """Config ladder: peak config first, then degrade on hard failures
+        (e.g. HBM pressure from a coexisting executable set) — a benchmark
+        should record the best configuration that actually runs, visibly."""
+        import gc
+
+        ladder = [
+            {},  # unrolled + device-resident dataset cache
+            {"device_data_cache": "off"},  # unrolled + streaming
+            {"scan_layers": "auto", "device_data_cache": "off"},  # scanned
+        ]
+        last = None
+        for i, ov in enumerate(ladder):
+            try:
+                out = retry(
+                    lambda: bench_family(tmp, on_accel, family, **ov), 2
+                )
+                return out + (ov,)
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"bench config {ov or 'default'} failed: {e!r}; "
+                    "degrading", flush=True,
+                )
+                last = e.with_traceback(None)
+                del e
+                gc.collect()
         raise last
 
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     extra = {}
     try:
-        isolated = retry(lambda: bench_isolated_step(tmp, on_accel))
-        e2e, epochs_tput, e2e_wall = retry(
-            lambda: bench_e2e_trainer(tmp, on_accel)
+        isolated, e2e, epochs_tput, e2e_wall, e2e_cfg = (
+            run_family_with_fallbacks(tmp, "conformer")
         )
 
         warm = epochs_tput[1:] or epochs_tput
@@ -317,6 +381,8 @@ def main():
             # capability number — flag it loudly
             "spread_warning": spread > 0.25,
             "e2e_run_wall_s": round(e2e_wall, 1),
+            # {} = the peak config (unrolled + device cache) ran first try
+            "e2e_config_overrides": e2e_cfg,
         }
 
         if on_accel:
@@ -324,18 +390,15 @@ def main():
             # measured ≈87 samples/s incl. eval): best-effort — its remote
             # compiles trip transient 500s more often, and a failure only
             # nulls these extras, never the headline
+            import gc
+
+            gc.collect()  # free the conformer family's device state first
             try:
-                w2v_iso = retry(
-                    lambda: bench_isolated_step(tmp, on_accel, "w2v_base"), 2
+                w2v_iso, w2v_e2e, w2v_epochs, _wall, _cfg = (
+                    run_family_with_fallbacks(tmp, "w2v_base")
                 )
                 extra["w2v_base_fft_isolated_samples_per_sec_per_chip"] = round(
                     w2v_iso, 2
-                )
-            except Exception:
-                extra["w2v_base_fft_isolated_samples_per_sec_per_chip"] = None
-            try:
-                w2v_e2e, w2v_epochs, _wall = retry(
-                    lambda: bench_e2e_trainer(tmp, on_accel, "w2v_base"), 2
                 )
                 extra["w2v_base_fft_e2e_samples_per_sec_per_chip"] = round(
                     w2v_e2e, 2
@@ -347,6 +410,7 @@ def main():
                     round(t, 2) for t in w2v_epochs
                 ]
             except Exception:
+                extra["w2v_base_fft_isolated_samples_per_sec_per_chip"] = None
                 extra["w2v_base_fft_e2e_samples_per_sec_per_chip"] = None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
