@@ -165,7 +165,15 @@ def _bwd_kernel(
             ) * scale
 
 
-_VMEM_BLOCK_BUDGET = 10 * 1024 * 1024
+# Budget for ONE pipeline stage's operand/result blocks. The scoped-VMEM
+# stack limit is 16M and Pallas double-buffers every gridded block (2x), so
+# the budget must stay well under half of that — 10M overflowed the stack
+# (22.5M scoped) for the 3-output bwd kernel when the fwd kernel is
+# recomputed in the same checkpoint region of a scanned+remat'd encoder
+# layer at (b=64, h=12, t=89, d=64). Grouping is perf-neutral at bench
+# shapes (grid switch overhead is not a bottleneck), so a small budget
+# costs nothing.
+_VMEM_BLOCK_BUDGET = 5 * 1024 * 1024
 
 
 def _pick_group(b, h, t, d, n_arrays):
