@@ -363,3 +363,47 @@ def test_h2d_dtype_float16_close_to_float32(
         )
     # the inline stream feeds IDENTICAL batches — bitwise-equal training
     assert losses["inline_stream"] == losses["float32"]
+
+
+def test_remat_policy_auto_resolution(
+    tmp_path, synthetic_splits_dir, tiny_encoders
+):
+    """--remat_policy defaults to 'auto'. Off-accelerator (here) the HBM
+    chooser never probes: scanned specs resolve to 'min' (golden numerics
+    expect the baseline policy) and unrolled specs pin 'min' (the field is
+    unused without the scan body, but the spec must be deterministic).
+    Explicit policies pass through untouched."""
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+
+    scanned = impl.B2TGruAndW2VExperiment(
+        base_config(scan_layers=True), yaml_cfg
+    )
+    assert scanned.base_config.remat_policy == "auto"
+    assert scanned.spec.remat_policy == "min"
+
+    unrolled = impl.B2TGruAndW2VExperiment(
+        base_config(scan_layers=False), yaml_cfg
+    )
+    assert unrolled.spec.remat_policy == "min"
+
+    explicit = impl.B2TGruAndW2VExperiment(
+        base_config(scan_layers=True, remat_policy="dots_nowide"), yaml_cfg
+    )
+    assert explicit.spec.remat_policy == "dots_nowide"
+
+    # HBM-budget inputs for the accelerator path: the device-cache estimate
+    # is 0 when the cache is off and the dataset footprint when it is on
+    off = impl.B2TGruAndW2VExperiment(
+        base_config(device_data_cache="off"), yaml_cfg
+    )
+    assert off._estimate_device_cache_bytes() == 0
+    on = impl.B2TGruAndW2VExperiment(
+        base_config(device_data_cache="on"), yaml_cfg
+    )
+    est = on._estimate_device_cache_bytes()
+    n = sum(
+        len(dl.dataset)
+        for dl in (on.dataloader_train, on.dataloader_val, on.dataloader_test)
+    )
+    # (T, C) at the f32 wire default, every sample padded to the bucket
+    assert est == n * 256 * 256 * 4

@@ -232,15 +232,18 @@ class BaseExperimentArgsModel(BaseModel):
             "of the z-scored features. float32 = exact reference numerics"
         ),
     )
-    remat_policy: Literal["min", "dots", "dots_nowide", "none"] = Field(
-        "min",
+    remat_policy: Literal["auto", "min", "dots", "dots_nowide", "none"] = Field(
+        "auto",
         description=(
             "Rematerialization policy for the scanned encoder layer loop: "
+            "'auto' (default) picks 'dots_nowide' when an AOT memory "
+            "analysis of the candidate program says it fits HBM next to "
+            "the resident params/optimizer/dataset-cache buffers, else "
+            "'min' ('min' always, off-accelerator); "
             "'min' saves only non-batch matmul outputs (lowest memory), "
             "'dots' saves every matmul output (fewest backward recomputes, "
             "largest memory), 'dots_nowide' additionally recomputes only "
-            "the wide FFN intermediates (fits v5e HBM at the headline "
-            "batch), 'none' disables remat entirely "
+            "the wide FFN intermediates, 'none' disables remat entirely "
             "(scan saves all per-iteration residuals)"
         ),
     )

@@ -281,17 +281,29 @@ class B2TGruW2VExperimentBase:
         with the mesh shardings attached, and the predicted single-bucket
         batch shapes — then lowers it and asks the cache (no compilation
         either way)."""
-        from wav2vec2forbrain_tpu.data.batch import B2tBatch
         from wav2vec2forbrain_tpu.util.compile_probe import lowered_is_cached
 
+        lowered = self._lower_train_step(spec_unrolled)
+        return lowered is not None and lowered_is_cached(lowered[0]) is True
+
+    def _lower_train_step(self, spec):
+        """Lower the exact train-step program the Trainer would run for
+        `spec` (same build_steps jit, mesh shardings, predicted
+        single-bucket batch shapes) WITHOUT compiling it.
+
+        Returns (lowered, live_bytes) — live_bytes is the footprint of the
+        buffers that would be resident alongside the step's temporaries:
+        params + opt state + model state + one batch — or None when batch
+        shapes can't be predicted (multi-bucket/channel configs)."""
         cfg = self.base_config
         shapes = self._predict_batch_shapes()
         if shapes is None:
-            return False
+            return None
         t_max, u_max, n_ch = shapes
+        from wav2vec2forbrain_tpu.data.batch import B2tBatch
 
         params_abs, state_abs = jax.eval_shape(
-            lambda k: init_model_params(k, spec_unrolled),
+            lambda k: init_model_params(k, spec),
             jax.random.PRNGKey(0),
         )
         labels = param_labels(params_abs, cfg.unfreeze_strategy)
@@ -309,7 +321,7 @@ class B2TGruW2VExperimentBase:
             white_noise_sd=cfg.whiteNoiseSD,
             constant_offset_sd=cfg.constantOffsetSD,
         )
-        train_step, _ = build_steps(spec_unrolled, tlabels, tx, step_cfg)
+        train_step, _ = build_steps(spec, tlabels, tx, step_cfg)
 
         def with_shardings(tree):
             return jax.tree_util.tree_map(
@@ -353,7 +365,110 @@ class B2TGruW2VExperimentBase:
             1e-4,
             1e-5,
         )
-        return lowered_is_cached(lowered) is True
+
+        def tree_bytes(tree):
+            return sum(
+                int(np.prod(a.shape)) * a.dtype.itemsize
+                for a in jax.tree_util.tree_leaves(tree)
+            )
+
+        live = tree_bytes(
+            (trainable_abs, frozen_abs, opt_abs, state_abs, batch)
+        )
+        return lowered, live
+
+    # accept a remat policy only when the resident buffers plus the step's
+    # XLA-reported temporaries leave this fraction of HBM free for the eval
+    # executable's temps and allocator slack (fragmentation next to
+    # long-lived buffers is what made a fitting-but-tight policy slower
+    # end-to-end in round 2)
+    _REMAT_HBM_MARGIN = 0.90
+
+    def _resolve_remat_policy(self, make_spec) -> str:
+        """--remat_policy=auto for the scanned encoder: pick the fastest
+        policy whose memory footprint fits the device.
+
+        'dots_nowide' (save every matmul output except the (B,T,4096)-wide
+        FFN intermediates) steps ~15% faster than 'min' but keeps ~24x more
+        residuals; whether it fits depends on batch/seq/model size and on
+        what else is resident (params, opt state, device dataset cache).
+        Rather than model that by hand, AOT-compile the candidate program
+        and ask XLA for its temp footprint (`compiled.memory_analysis()`):
+        accepted only if live bytes + temps fit within _REMAT_HBM_MARGIN of
+        the reported HBM limit. The probe compile is a scanned program
+        (tens of seconds) and warms the persistent cache for future
+        processes of this config (the Trainer's own jit in THIS process
+        re-traces to a different Mosaic payload — see
+        bench.py::bench_isolated_step — so one scanned compile is the
+        real cost of the probe). On CPU (tests/smokes) the answer is
+        always 'min': there is no HBM to budget and golden numerics
+        expect the default."""
+        if jax.devices()[0].platform not in ("tpu", "gpu"):
+            return "min"
+        try:
+            lowered = self._lower_train_step(
+                make_spec(True, remat="dots_nowide")
+            )
+            if lowered is None:
+                return "min"
+            lowered, live = lowered
+            compiled = lowered.compile()
+            temps = int(compiled.memory_analysis().temp_size_in_bytes)
+            limit = self._hbm_bytes_limit()
+            need = live + temps + self._estimate_device_cache_bytes()
+            ok = need <= self._REMAT_HBM_MARGIN * limit
+            if ok:
+                # the cache-budget probe asks for the chosen program's
+                # footprint next; spare it the identical compile
+                self._remat_probe_mem = ("dots_nowide", live, temps)
+            print(
+                "remat_policy=auto: "
+                f"{'dots_nowide' if ok else 'min'} "
+                f"(live+temps {need / 2**30:.2f}G vs "
+                f"{self._REMAT_HBM_MARGIN:.0%} of {limit / 2**30:.2f}G HBM)"
+            )
+            return "dots_nowide" if ok else "min"
+        except Exception as e:  # noqa: BLE001 — chooser is best-effort
+            print(f"remat_policy=auto: min (probe failed: {e})")
+            return "min"
+
+    @staticmethod
+    def _hbm_bytes_limit() -> int:
+        """Device memory capacity for the HBM-budget probes.
+        `memory_stats()` is None through the axon remote-attach tunnel;
+        fall back to the v5e usable-HBM figure measured in round 2
+        (allocations succeeded at 15.75G, failed 60M above it)."""
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+        return int(15.75 * 2**30)
+
+    def _estimate_device_cache_bytes(self) -> int:
+        """Upper-bound estimate of --device_data_cache HBM usage, for the
+        remat chooser (the caches are built later, at Trainer setup)."""
+        cfg = self.base_config
+        if getattr(cfg, "device_data_cache", "off") == "off":
+            return 0
+        shapes = self._predict_batch_shapes()
+        if shapes is None:
+            return 0
+        t_max, _u_max, n_ch = shapes
+        wire = {"float32": 4, "float16": 2, "bfloat16": 2}[
+            getattr(cfg, "h2d_dtype", "float32")
+        ]
+        n = sum(
+            len(dl.dataset)
+            for dl in (
+                self.dataloader_train,
+                self.dataloader_val,
+                self.dataloader_test,
+            )
+        )
+        est = n * t_max * n_ch * wire
+        cap = getattr(cfg, "device_data_cache_max_bytes", None)
+        if getattr(cfg, "device_data_cache", "off") == "auto" and cap:
+            est = min(est, int(cap))
+        return est
 
     def _predict_batch_shapes(self):
         """(T, U, C) of the dataset-wide padding bucket — the shapes every
@@ -394,7 +509,7 @@ class B2TGruW2VExperimentBase:
         latent = PRETRAINED_LATENT_SIZES[cfg.wav2vec_checkpoint]
         enc_cfg = self._encoder_config()
 
-        def make_spec(scan: bool) -> ModelSpec:
+        def make_spec(scan: bool, remat: str = None) -> ModelSpec:
             return ModelSpec.from_args(
                 cfg,
                 latent_size=latent,
@@ -408,10 +523,16 @@ class B2TGruW2VExperimentBase:
                 ),
                 use_pallas=cfg.use_pallas,
                 scan_layers=scan,
-                remat_policy=cfg.remat_policy,
+                remat_policy=remat or cfg.remat_policy,
             )
 
-        self.spec = make_spec(self._resolve_scan_layers(make_spec))
+        scan = self._resolve_scan_layers(make_spec)
+        remat = cfg.remat_policy
+        if remat == "auto":
+            # only the scanned layer loop is remat'd; pin the unrolled
+            # spec's field to the baseline so the spec is deterministic
+            remat = self._resolve_remat_policy(make_spec) if scan else "min"
+        self.spec = make_spec(scan, remat)
         self._init_rng, k = jax.random.split(self._init_rng)
         params, state = init_model_params(k, self.spec)
 
@@ -541,6 +662,12 @@ class B2TGruW2VExperimentBase:
             return {}
         from wav2vec2forbrain_tpu.train.device_cache import build_split_caches
 
+        max_bytes = None
+        if mode == "auto":
+            max_bytes = cfg.device_data_cache_max_bytes
+            fit = self._device_cache_hbm_budget()
+            if fit is not None:
+                max_bytes = min(max_bytes, fit)
         return build_split_caches(
             {
                 "train": self.dataloader_train,
@@ -551,10 +678,47 @@ class B2TGruW2VExperimentBase:
             cfg,
             mesh=self.mesh,
             batch_sharding=self.batch_sharding_fn,
-            max_bytes=(
-                cfg.device_data_cache_max_bytes if mode == "auto" else None
-            ),
+            max_bytes=max_bytes,
         )
+
+    def _device_cache_hbm_budget(self):
+        """HBM left for the dataset cache NEXT TO the actual train-step
+        program, via the same AOT memory analysis the remat chooser uses
+        (a static per-run flag cap cannot know this: e.g. the scanned
+        min-remat program at the headline batch leaves <243 MB free, so a
+        cache that 'fits its cap' OOMs the first step).
+
+        Probed only for SCANNED programs: their compiles cost tens of
+        seconds, and they are the memory-tight ones (remat exists because
+        unrolled residuals never fit at all; the unrolled bench config is
+        measured to fit next to the cache). An in-process re-trace lowers
+        to a different Mosaic payload than the Trainer's own jit (see
+        bench.py::bench_isolated_step), so this probe compile is NOT
+        reused — minutes of unrolled compile would be paid twice.
+        None = can't tell: fall back to the configured cap alone."""
+        if not self.spec.scan_layers:
+            return None
+        try:
+            probed = getattr(self, "_remat_probe_mem", None)
+            if probed is not None and probed[0] == self.spec.remat_policy:
+                _, live, temps = probed
+            else:
+                lowered = self._lower_train_step(self.spec)
+                if lowered is None:
+                    return None
+                lowered, live = lowered
+                mem = lowered.compile().memory_analysis()
+                temps = int(mem.temp_size_in_bytes)
+            limit = self._hbm_bytes_limit()
+            budget = int(self._REMAT_HBM_MARGIN * limit - live - temps)
+            print(
+                "device_data_cache: HBM budget next to the train step "
+                f"{budget / 1e6:.0f} MB"
+            )
+            return max(budget, 0)
+        except Exception as e:  # noqa: BLE001 — sizing probe is best-effort
+            print(f"device_data_cache: HBM budget probe failed ({e})")
+            return None
 
     # --- evaluator ----------------------------------------------------------
 
