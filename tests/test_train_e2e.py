@@ -343,6 +343,7 @@ def test_h2d_dtype_float16_close_to_float32(
         "float32": {},
         "float16": {"h2d_dtype": "float16"},
         "bfloat16": {"h2d_dtype": "bfloat16"},
+        "act_bf16": {"activation_dtype": "bfloat16"},
         "inline_stream": {"host_prefetch": False},
     }
     losses = {}
@@ -356,7 +357,7 @@ def test_h2d_dtype_float16_close_to_float32(
         with open(os.path.join(exp.results_dir, "history.json")) as f:
             hist = json.load(f)
         losses[name] = hist["test"]["average"]["loss"]
-    for name in ("float16", "bfloat16"):
+    for name in ("float16", "bfloat16", "act_bf16"):
         assert np.isfinite(losses[name])
         assert abs(losses[name] - losses["float32"]) < 0.05 * (
             1.0 + abs(losses["float32"])

@@ -67,6 +67,13 @@ def main():
     )
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=384)
+    ap.add_argument("--reps", type=int, default=1,
+                    help="repeat the full-step 10-iter timing window")
+    ap.add_argument("--act-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="encoder activation-stream dtype")
+    ap.add_argument("--only", default=None, choices=[None, "full"],
+                    help="'full': stop after the full-step timing")
     args = ap.parse_args()
 
     from wav2vec2forbrain_tpu.util.tpu_setup import configure_jax
@@ -102,6 +109,9 @@ def main():
         use_pallas=not args.no_pallas,
         scan_layers=args.scan,
         remat_policy=args.remat,
+        activation_dtype=(
+            jnp.bfloat16 if args.act_dtype == "bfloat16" else jnp.float32
+        ),
     )
     b, t, u = args.batch, args.frames, 32
     params, state = init_model_params(jax.random.PRNGKey(0), spec)
@@ -128,10 +138,25 @@ def main():
         return tr, osd, st, key
 
     carry = run_full(3, trainable, opt_state, state, rng)
-    t0 = time.perf_counter()
-    carry = run_full(10, *carry)
-    print("full_step_ms", round((time.perf_counter() - t0) / 10 * 1000.0, 2))
-    trainable, opt_state, state, rng = carry
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        carry = run_full(10, *carry)
+        print(
+            "full_step_ms", round((time.perf_counter() - t0) / 10 * 1000.0, 2)
+        )
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            carry = run_full(3, *carry)
+        print("trace written to", args.trace)
+    if args.only == "full":
+        return
+    # free the full-step carry + executable before the (remat-free,
+    # non-donating) sub-benchmarks: together they do not fit v5e HBM
+    del carry
+    import gc
+
+    del train_step, run_full
+    gc.collect()
     # re-init donated buffers for the sub-benchmarks below
     params, state = init_model_params(jax.random.PRNGKey(0), spec)
     trainable, frozen = partition_params(params, labels)
@@ -290,13 +315,6 @@ def main():
         return jax.tree_util.tree_leaves(updates)[0]
 
     print("opt_ms", round(timeit(opt, opt_state, trainable), 2))
-
-    if args.trace:
-        carry = run_full(1, trainable, opt_state, state, rng)
-        with jax.profiler.trace(args.trace):
-            run_full(3, *carry)
-        print("trace written to", args.trace)
-
 
 if __name__ == "__main__":
     main()

@@ -167,6 +167,16 @@ class BaseExperimentArgsModel(BaseModel):
         "float32",
         description="Matmul/activation dtype on device (params stay float32)",
     )
+    activation_dtype: Literal["float32", "bfloat16"] = Field(
+        "float32",
+        description=(
+            "Dtype of the encoder's activation stream between blocks "
+            "(residuals and saved backward residuals). bfloat16 halves "
+            "the HBM-bound glue traffic and training memory; norm/softmax/"
+            "loss internals and params stay float32. float32 = exact "
+            "reference numerics"
+        ),
+    )
     mesh_data_parallel: int = Field(
         0,
         description=(

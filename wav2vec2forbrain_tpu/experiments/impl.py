@@ -524,6 +524,11 @@ class B2TGruW2VExperimentBase:
                 use_pallas=cfg.use_pallas,
                 scan_layers=scan,
                 remat_policy=remat or cfg.remat_policy,
+                activation_dtype=(
+                    jnp.bfloat16
+                    if cfg.activation_dtype == "bfloat16"
+                    else jnp.float32
+                ),
             )
 
         scan = self._resolve_scan_layers(make_spec)

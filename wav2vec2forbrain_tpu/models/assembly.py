@@ -79,6 +79,12 @@ class ModelSpec:
     # training-time behaviour
     ctc_loss_reduction: str = "mean"
     compute_dtype: Any = jnp.float32
+    # Dtype of the encoder's activation STREAM (block inputs/outputs,
+    # residuals, saved bwd residuals). bfloat16 halves the HBM-bound
+    # elementwise glue between matmuls and the training-memory residuals;
+    # LayerNorm/BatchNorm/softmax/CTC internals and all params stay f32.
+    # Default f32 = exact reference numerics.
+    activation_dtype: Any = jnp.float32
     # Pallas TPU kernels: fused preprocessing (ops/pallas_preproc), fused
     # biGRU recurrence (ops/pallas_gru), fused attention (ops/pallas_attention)
     use_pallas: bool = False
@@ -110,6 +116,7 @@ class ModelSpec:
         use_pallas: bool = False,
         scan_layers: bool = False,
         remat_policy: str = "min",
+        activation_dtype=jnp.float32,
     ) -> "ModelSpec":
         return cls(
             unfolder_kernel_len=bfe_args.unfolder_kernel_len,
@@ -132,6 +139,7 @@ class ModelSpec:
             use_pallas=use_pallas,
             scan_layers=scan_layers,
             remat_policy=remat_policy,
+            activation_dtype=activation_dtype,
             aux_head_vocab_size=getattr(bfe_args, "aux_head_vocab_size", None),
             additional_loss_weight=(
                 getattr(bfe_args, "additional_loss_weight", None) or 1.0
@@ -284,6 +292,9 @@ def forward(
         use_pallas=(spec.use_pallas and spec.gru_bidirectional),
     )
     latents = apply_fc(params["brain"]["fc"], h, spec.fc_activation, cd)
+    # the encoder's activation stream runs in spec.activation_dtype (blocks
+    # emit what they receive); the heads always emit f32 logits
+    enc_in = latents.astype(spec.activation_dtype)
 
     if spec.encoder_family == "wav2vec2":
         if "layers_stacked" in params["w2v"]["encoder"]:
@@ -292,13 +303,13 @@ def forward(
             )
 
             hidden = apply_w2v_encoder_scanned(
-                params["w2v"]["encoder"], latents, spec.w2v_cfg, enc_rng,
+                params["w2v"]["encoder"], enc_in, spec.w2v_cfg, enc_rng,
                 train, cd, use_pallas=spec.use_pallas,
                 remat_policy=spec.remat_policy,
             )
         else:
             hidden = apply_w2v_encoder(
-                params["w2v"]["encoder"], latents, spec.w2v_cfg, enc_rng,
+                params["w2v"]["encoder"], enc_in, spec.w2v_cfg, enc_rng,
                 train, cd, use_pallas=spec.use_pallas,
             )
         new_state = state
@@ -322,7 +333,7 @@ def forward(
         else:
             enc_fn = apply_conformer_encoder
         hidden, new_enc_state = enc_fn(
-            params["w2v"]["encoder"], state["encoder"], latents, cfg, enc_rng,
+            params["w2v"]["encoder"], state["encoder"], enc_in, cfg, enc_rng,
             train, cd, use_pallas=spec.use_pallas,
         )
         new_state = {"encoder": new_enc_state}

@@ -206,18 +206,20 @@ def _apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, num_heads:
     x2 = xh[..., head // 2 :]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
     out = xh * cos[None, :, None, :] + rotated * sin[None, :, None, :]
-    return out.reshape(b, t, h)
+    # keep the activation stream's dtype (f32 cos/sin promote bf16 inputs)
+    return out.reshape(b, t, h).astype(x.dtype)
 
 
 # --- blocks -----------------------------------------------------------------------
 
 
 def conformer_feed_forward(p, x, cfg, rng, train, compute_dtype):
+    sd = x.dtype  # activation-stream dtype: blocks emit what they receive
     act = ACT2FN[cfg.hidden_act]
-    y = apply_linear(p["intermediate_dense"], x, compute_dtype)
+    y = apply_linear(p["intermediate_dense"], x, compute_dtype, out_dtype=sd)
     y = act(y)
     rng, y = _dropout(rng, y, cfg.activation_dropout, train)
-    y = apply_linear(p["output_dense"], y, compute_dtype)
+    y = apply_linear(p["output_dense"], y, compute_dtype, out_dtype=sd)
     rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
     return y, rng
 
@@ -231,10 +233,17 @@ def conformer_self_attention(
     head = h // heads
     cd = compute_dtype or x.dtype
 
+    sd = x.dtype
     qk_states = _apply_rotary(x, cos, sin, heads)
-    q = apply_linear(p["linear_q"], qk_states, cd).reshape(b, t, heads, head)
-    k = apply_linear(p["linear_k"], qk_states, cd).reshape(b, t, heads, head)
-    v = apply_linear(p["linear_v"], x, cd).reshape(b, t, heads, head)
+    q = apply_linear(p["linear_q"], qk_states, cd, out_dtype=sd).reshape(
+        b, t, heads, head
+    )
+    k = apply_linear(p["linear_k"], qk_states, cd, out_dtype=sd).reshape(
+        b, t, heads, head
+    )
+    v = apply_linear(p["linear_v"], x, cd, out_dtype=sd).reshape(
+        b, t, heads, head
+    )
 
     q = jnp.transpose(q, (0, 2, 1, 3))
     k = jnp.transpose(k, (0, 2, 1, 3))
@@ -266,7 +275,7 @@ def conformer_self_attention(
             preferred_element_type=jnp.float32,
         )
     ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h)
-    return apply_linear(p["linear_out"], ctx, cd), rng
+    return apply_linear(p["linear_out"], ctx, cd, out_dtype=sd), rng
 
 
 def _batch_norm(
@@ -304,6 +313,7 @@ def conformer_conv_module(
     use_pallas: bool = False,
 ):
     cd = compute_dtype or x.dtype
+    sd = x.dtype
     y = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
     # pointwise conv1 (k=1, no bias) == dense to 2C, then GLU over channels
     y = jnp.dot(
@@ -333,11 +343,11 @@ def conformer_conv_module(
             feature_group_count=cfg.hidden_size,
         ).astype(jnp.float32)
     y, new_bn = _batch_norm(p["batch_norm"], state["batch_norm"], y, cfg, train)
-    y = ACT2FN[cfg.hidden_act](y)
+    y = ACT2FN[cfg.hidden_act](y.astype(sd))
     y = jnp.dot(
         y.astype(cd), p["pointwise_conv2"]["kernel"].astype(cd),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(sd)
     rng, y = _dropout(rng, y, cfg.conformer_conv_dropout, train)
     return y, {"batch_norm": new_bn}, rng
 

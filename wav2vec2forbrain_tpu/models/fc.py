@@ -28,14 +28,20 @@ def init_linear(rng, in_size: int, out_size: int, dtype=jnp.float32) -> dict:
     }
 
 
-def apply_linear(params: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def apply_linear(
+    params: dict, x: jnp.ndarray, compute_dtype=None, out_dtype=None
+) -> jnp.ndarray:
+    """Matmul in compute_dtype, f32 accumulate + bias add, then emit in
+    out_dtype (default f32). A bf16 out_dtype halves the HBM traffic of the
+    activation stream; XLA fuses the downcast into the matmul epilogue."""
     kernel = params["kernel"]
     bias = params["bias"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
     y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
-    return y.astype(jnp.float32) + bias
+    y = y.astype(jnp.float32) + bias
+    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def init_fc(

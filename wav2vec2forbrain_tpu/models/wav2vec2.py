@@ -193,7 +193,9 @@ def pos_conv_embed(p: dict, x: jnp.ndarray, cfg: Wav2Vec2EncoderConfig) -> jnp.n
         dimension_numbers=("NTC", "TIO", "NTC"),
         feature_group_count=cfg.num_conv_pos_embedding_groups,
     )
-    y = y + p["bias"]
+    # bf16 stream: conv accumulates f32 on the MXU regardless; the f32 bias
+    # add promotes, so cast back to the stream dtype
+    y = (y + p["bias"]).astype(x.dtype)
     if k % 2 == 0:  # SamePadLayer: trim the extra right output
         y = y[:, : x.shape[1], :]
     return ACT2FN[cfg.feat_extract_activation](y)
@@ -214,9 +216,10 @@ def attention(
     head_dim = h // num_heads
     cd = compute_dtype or x.dtype
 
-    q = apply_linear(p["q_proj"], x, cd) * (head_dim**-0.5)
-    k = apply_linear(p["k_proj"], x, cd)
-    v = apply_linear(p["v_proj"], x, cd)
+    sd = x.dtype
+    q = apply_linear(p["q_proj"], x, cd, out_dtype=sd) * (head_dim**-0.5)
+    k = apply_linear(p["k_proj"], x, cd, out_dtype=sd)
+    v = apply_linear(p["v_proj"], x, cd, out_dtype=sd)
 
     def split_heads(a):
         return jnp.transpose(a.reshape(b, t, num_heads, head_dim), (0, 2, 1, 3))
@@ -244,7 +247,7 @@ def attention(
             preferred_element_type=jnp.float32,
         )
     ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h)
-    return apply_linear(p["out_proj"], ctx, cd), rng
+    return apply_linear(p["out_proj"], ctx, cd, out_dtype=sd), rng
 
 
 def feed_forward(
@@ -255,11 +258,12 @@ def feed_forward(
     train: bool = False,
     compute_dtype=None,
 ):
+    sd = x.dtype  # activation-stream dtype: blocks emit what they receive
     act = ACT2FN[cfg.hidden_act]
-    y = apply_linear(p["intermediate_dense"], x, compute_dtype)
+    y = apply_linear(p["intermediate_dense"], x, compute_dtype, out_dtype=sd)
     y = act(y)
     rng, y = _dropout(rng, y, cfg.activation_dropout, train)
-    y = apply_linear(p["output_dense"], y, compute_dtype)
+    y = apply_linear(p["output_dense"], y, compute_dtype, out_dtype=sd)
     rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
     return y, rng
 
