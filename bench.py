@@ -73,6 +73,7 @@ def _bench_configs(on_accel, family):
             batch_size=32,
             epochs=4,
             compute_dtype="bfloat16",
+            activation_dtype="bfloat16",
             use_pallas=True,
             # one (T, U) bucket: the 280-380-frame data all pads to 384,
             # i.e. 88 encoder frames — the headline-step shape (512 frames
@@ -106,6 +107,7 @@ def _bench_configs(on_accel, family):
             # probe threshold, and 3 warm epochs for the median
             epochs=4,
             compute_dtype="bfloat16",
+            activation_dtype="bfloat16",
             use_pallas=True,
             pad_to_multiple=384,
             target_pad_to_multiple=64,

@@ -177,7 +177,7 @@ def main():
     t_lat = (t - 32) // 4 + 1
     latents = jax.random.normal(
         jax.random.PRNGKey(2), (b, t_lat, 1024), jnp.float32
-    )
+    ).astype(spec.activation_dtype)
     lat_lens = jnp.full((b,), t_lat, jnp.int32)
     from wav2vec2forbrain_tpu.models.conformer import (
         apply_conformer_encoder,
@@ -264,7 +264,7 @@ def main():
 
     lp = init_conformer_layer_params(jax.random.PRNGKey(3), cfg)
     ls = init_conformer_state(cfg)["layers"][0]
-    xblk = latents.astype(jnp.float32)
+    xblk = latents  # stream dtype: blocks emit what they receive
     head = cfg.hidden_size // cfg.num_attention_heads
     cos, sin = rotary_cos_sin(t_lat, head, cfg.rotary_embedding_base)
     n_layers = cfg.num_hidden_layers

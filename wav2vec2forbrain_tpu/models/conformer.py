@@ -322,11 +322,12 @@ def conformer_conv_module(
     )
     if use_pallas:
         # fused GLU -> depthwise (ops/pallas_conv_glu.py); the grouped conv
-        # below is the module's measured non-matmul hot spot under XLA
+        # below is the module's measured non-matmul hot spot under XLA.
+        # Kernel IO rides the activation-stream dtype (f32 by default).
         from wav2vec2forbrain_tpu.ops.pallas_conv_glu import glu_dwconv
 
         y = glu_dwconv(
-            y, p["depthwise_conv"]["kernel"][:, 0, :], cd
+            y.astype(sd), p["depthwise_conv"]["kernel"][:, 0, :], cd
         )
     else:
         a, b_half = jnp.split(y, 2, axis=-1)

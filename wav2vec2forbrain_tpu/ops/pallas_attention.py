@@ -111,7 +111,7 @@ def _fwd_kernel(
                 v_ref[i, h].astype(compute_dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
@@ -142,7 +142,7 @@ def _bwd_kernel(
                 pd.astype(cd), g.astype(cd),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(dv_ref.dtype)
             # dpd = g @ v^T ; through dropout: dp = dpd * mask
             dp = jax.lax.dot_general(
                 g.astype(cd), v.astype(cd),
@@ -153,16 +153,16 @@ def _bwd_kernel(
                 dp = dp * mask
             # softmax VJP on pre-dropout probs
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dq_ref[i, h] = jax.lax.dot_general(
+            dq_ref[i, h] = (jax.lax.dot_general(
                 ds.astype(cd), k.astype(cd),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
-            dk_ref[i, h] = jax.lax.dot_general(
+            ) * scale).astype(dq_ref.dtype)
+            dk_ref[i, h] = (jax.lax.dot_general(
                 ds.astype(cd), q.astype(cd),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            ) * scale).astype(dk_ref.dtype)
 
 
 # Budget for ONE pipeline stage's operand/result blocks. The scoped-VMEM
@@ -176,9 +176,13 @@ def _bwd_kernel(
 _VMEM_BLOCK_BUDGET = 5 * 1024 * 1024
 
 
-def _pick_group(b, h, t, d, n_arrays):
-    """Largest divisor of b whose operand blocks fit the VMEM budget."""
-    per_elem = n_arrays * h * t * d * 4
+def _pick_group(b, h, t, d, n_arrays, itemsize):
+    """Largest divisor of b whose operand blocks fit the VMEM budget.
+
+    itemsize is the kernel's HBM block dtype (the q/k/v stream dtype —
+    outputs are emitted in the same dtype); a bf16 stream halves the block
+    bytes so groups double for free."""
+    per_elem = n_arrays * h * t * d * itemsize
     g = 1
     for cand in range(2, b + 1):
         if b % cand == 0 and cand * per_elem <= _VMEM_BLOCK_BUDGET:
@@ -187,14 +191,15 @@ def _pick_group(b, h, t, d, n_arrays):
 
 
 def _call(kern_fn, n_in, n_out, bhtd, seed, rows, head_ids, *args,
-          interpret, **kern_kw):
+          interpret, out_dtype=jnp.float32, **kern_kw):
     b, h, t, d = bhtd
-    group = _pick_group(b, h, t, d, n_in + n_out + 1)
+    itemsize = jnp.dtype(out_dtype).itemsize
+    group = _pick_group(b, h, t, d, n_in + n_out + 1, itemsize)
     kern = functools.partial(kern_fn, group=group, **kern_kw)
     block = pl.BlockSpec(
         (group, h, t, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    out_shape = [jax.ShapeDtypeStruct((b, h, t, d), jnp.float32)] * n_out
+    out_shape = [jax.ShapeDtypeStruct((b, h, t, d), out_dtype)] * n_out
     out_specs = [block] * n_out
     if n_out == 1:
         out_shape = out_shape[0]
@@ -212,7 +217,7 @@ def _call(kern_fn, n_in, n_out, bhtd, seed, rows, head_ids, *args,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def mha_fused(q, k, v, seed, scale, dropout_rate, compute_dtype):
-    """q/k/v: (B, H, T, D) -> ctx (B, H, T, D) f32.
+    """q/k/v: (B, H, T, D) -> ctx (B, H, T, D) in q.dtype (f32 accumulate).
 
     seed: int32 scalar array; used only when dropout_rate > 0 (train mode).
     Pass dropout_rate=0.0 for eval."""
@@ -236,6 +241,7 @@ def _fwd_impl(q, k, v, seed, rows, heads, scale, dropout_rate, compute_dtype):
     return _call(
         _fwd_kernel, 3, 1, (b, h, t, d), seed, rows, heads, q, k, v,
         interpret=_interpret(),
+        out_dtype=q.dtype,
         heads=h,
         scale=scale,
         keep_prob=1.0 - dropout_rate,
@@ -248,6 +254,7 @@ def _bwd_impl(q, k, v, g, seed, rows, heads, scale, dropout_rate, compute_dtype)
     return _call(
         _bwd_kernel, 4, 3, (b, h, t, d), seed, rows, heads, q, k, v, g,
         interpret=_interpret(),
+        out_dtype=q.dtype,
         heads=h,
         scale=scale,
         keep_prob=1.0 - dropout_rate,
@@ -313,7 +320,7 @@ def _vjp_fwd(q, k, v, seed, scale, dropout_rate, compute_dtype):
 def _vjp_bwd(scale, dropout_rate, compute_dtype, res, g):
     q, k, v, seed = res
     dq, dk, dv = _bwd_partitioned(scale, dropout_rate, compute_dtype)(
-        q, k, v, g.astype(jnp.float32),
+        q, k, v, g.astype(q.dtype),
         seed.reshape(1).astype(jnp.int32), *_ids(q),
     )
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
@@ -326,7 +333,8 @@ def mha_with_rng(q, k, v, scale, dropout_rate, rng, train, compute_dtype):
     """Model-side entry: derive the kernel's int32 seed from a jax.random key
     (one split, like the dense path's dropout) and run mha_fused.
 
-    Returns (ctx (B,H,T,D) f32, advanced rng)."""
+    Returns (ctx (B,H,T,D) in q's dtype — the activation-stream dtype —
+    with f32 accumulation inside the kernel, advanced rng)."""
     rate = dropout_rate if train else 0.0
     if rate > 0.0:
         rng, sub = jax.random.split(rng)

@@ -38,7 +38,10 @@ def _glu(y):
 
 
 def _fwd_kernel(y_ref, w_ref, z_ref, *, ks: int, compute_dtype):
-    y = y_ref[0]  # (T, 2C) f32
+    # blocks ride the activation-stream dtype in HBM/VMEM; GLU math runs
+    # f32 in-kernel (bf16 sigmoid trips Mosaic's f32-literal broadcast, and
+    # f32 matches the XLA path's numerics)
+    y = y_ref[0].astype(jnp.float32)  # (T, 2C)
     t_len = y.shape[0]
     c = y.shape[-1] // 2
     g = _glu(y).astype(compute_dtype)
@@ -59,18 +62,19 @@ def _fwd_kernel(y_ref, w_ref, z_ref, *, ks: int, compute_dtype):
             jax.lax.slice_in_dim(gpad, k, k + t_len, axis=0).astype(jnp.float32)
             * tap
         )
-    # XLA's bf16 conv rounds its output to bf16 before the caller's f32 cast
-    z_ref[0] = acc.astype(compute_dtype).astype(jnp.float32)
+    # XLA's bf16 conv rounds its output through the compute dtype; emit in
+    # the caller's stream dtype (f32 by default — bit-identical)
+    z_ref[0] = acc.astype(compute_dtype).astype(z_ref.dtype)
 
 
 def _bwd_kernel(y_ref, w_ref, dz_ref, dy_ref, dk_ref, *, ks: int, compute_dtype):
-    y = y_ref[0]  # (T, 2C) f32
-    dz = dz_ref[0]  # (T, C) f32
+    y = y_ref[0].astype(jnp.float32)  # (T, 2C; blocks ride stream dtype)
+    dz = dz_ref[0].astype(jnp.float32)  # (T, C) cotangent, f32 accumulate
     t_len = y.shape[0]
     c = y.shape[-1] // 2
     a = y[:, :c]
     sig = jax.nn.sigmoid(y[:, c:])
-    g = (a * sig).astype(compute_dtype).astype(jnp.float32)
+    g = (a * sig).astype(compute_dtype).astype(jnp.float32)  # == fwd's g
     left = (ks - 1) // 2
     right = ks // 2
 
@@ -100,13 +104,14 @@ def _bwd_kernel(y_ref, w_ref, dz_ref, dy_ref, dk_ref, *, ks: int, compute_dtype)
     # GLU backward (f32): d a = dg * sig; d gate = dg * a * sig * (1 - sig)
     da = dg * sig
     dgate = dg * a * sig * (1.0 - sig)
-    dy_ref[0] = jnp.concatenate([da, dgate], axis=-1)
+    dy_ref[0] = jnp.concatenate([da, dgate], axis=-1).astype(dy_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def glu_dwconv(y, w, compute_dtype=jnp.float32):
-    """y: (B, T, 2C) f32 pointwise-conv1 output; w: (ks, C) depthwise taps
-    -> z: (B, T, C) f32 (GLU then 'same'-padded depthwise conv)."""
+    """y: (B, T, 2C) pointwise-conv1 output (activation-stream dtype);
+    w: (ks, C) depthwise taps -> z: (B, T, C) in y's dtype (GLU then
+    'same'-padded depthwise conv, f32 accumulation)."""
     return _fwd_partitioned(compute_dtype)(y, w)
 
 
@@ -156,9 +161,9 @@ def _fwd_impl(y, w, *, compute_dtype):
             pl.BlockSpec((ks, c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, t_len, c), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t_len, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, t_len, c), y.dtype),
         interpret=_interpret(),
-    )(y.astype(jnp.float32), w.astype(compute_dtype))
+    )(y, w.astype(compute_dtype))
 
 
 def _bwd_impl(y, w, dz, *, compute_dtype):
@@ -178,11 +183,11 @@ def _bwd_impl(y, w, dz, *, compute_dtype):
             pl.BlockSpec((1, ks, c), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, t_len, c2), jnp.float32),
-            jax.ShapeDtypeStruct((b, ks, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_len, c2), y.dtype),
+            jax.ShapeDtypeStruct((b, ks, c), jnp.float32),  # dK partials f32
         ],
         interpret=_interpret(),
-    )(y.astype(jnp.float32), w.astype(compute_dtype), dz.astype(jnp.float32))
+    )(y, w.astype(compute_dtype), dz)
 
 
 def _vjp_fwd(y, w, compute_dtype):
