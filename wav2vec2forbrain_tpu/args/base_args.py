@@ -7,7 +7,7 @@ of the reference can switch without changing their command lines.
 
 from typing import Literal, Optional, Union
 
-from pydantic import BaseModel, Field
+from pydantic import BaseModel, Field, field_validator
 
 # Latent sizes of the supported pretrained wav2vec2 checkpoints
 # (ref: src/args/base_args.py:5-11).
@@ -191,9 +191,25 @@ class BaseExperimentArgsModel(BaseModel):
         False,
         description=(
             "Use fused Pallas TPU kernels (preprocessing chain, biGRU "
-            "recurrence, multi-head attention)"
+            "recurrence, multi-head attention, conv module)"
         ),
     )
+    pallas_kernels: str = Field(
+        "auto",
+        description=(
+            "Which Pallas kernels run when --use_pallas is on: 'auto' "
+            "(measured best per kernel/dtype), 'all', 'none', or a comma "
+            "list from preproc,gru,attention,conv_glu (ops/select.py)"
+        ),
+    )
+
+    @field_validator("pallas_kernels")
+    @classmethod
+    def _check_pallas_kernels(cls, v: str) -> str:
+        from wav2vec2forbrain_tpu.ops.select import validate_kernel_policy
+
+        validate_kernel_policy(v)
+        return v
     scan_layers: Union[bool, Literal["auto"]] = Field(
         "auto",
         description=(

@@ -506,6 +506,9 @@ class B2TGruW2VExperimentBase:
 
     def _build_model(self):
         cfg = self.base_config
+        from wav2vec2forbrain_tpu.ops.select import set_kernel_policy
+
+        set_kernel_policy(cfg.pallas_kernels)
         latent = PRETRAINED_LATENT_SIZES[cfg.wav2vec_checkpoint]
         enc_cfg = self._encoder_config()
 

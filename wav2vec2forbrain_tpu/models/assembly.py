@@ -247,7 +247,9 @@ def forward(
     # inputs may arrive in a half-precision wire format (--h2d_dtype); the
     # preprocessing chain itself is always float32
     x = x.astype(jnp.float32)
-    if spec.use_pallas:
+    from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+
+    if kernel_enabled("preproc", spec.use_pallas):
         from wav2vec2forbrain_tpu.ops.pallas_preproc import apply_preproc_pallas
 
         feats, out_lens = apply_preproc_pallas(

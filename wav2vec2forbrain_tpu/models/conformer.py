@@ -249,7 +249,9 @@ def conformer_self_attention(
     k = jnp.transpose(k, (0, 2, 1, 3))
     v = jnp.transpose(v, (0, 2, 1, 3))
 
-    if use_pallas:
+    from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+
+    if kernel_enabled("attention", use_pallas, sd):
         from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng
 
         ctx, rng = mha_with_rng(
@@ -320,9 +322,12 @@ def conformer_conv_module(
         y.astype(cd), p["pointwise_conv1"]["kernel"].astype(cd),
         preferred_element_type=jnp.float32,
     )
-    if use_pallas:
+    from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+
+    if kernel_enabled("conv_glu", use_pallas, sd):
         # fused GLU -> depthwise (ops/pallas_conv_glu.py); the grouped conv
-        # below is the module's measured non-matmul hot spot under XLA.
+        # below is the module's measured non-matmul hot spot under XLA at
+        # f32 (XLA's own bf16 conv wins at bf16 — ops/select.py routes).
         # Kernel IO rides the activation-stream dtype (f32 by default).
         from wav2vec2forbrain_tpu.ops.pallas_conv_glu import glu_dwconv
 

@@ -233,15 +233,18 @@ def apply_gru(
             # sweep configs) the per-direction grid kernel, which keeps only
             # one direction's weight resident and computes dW outside;
             # otherwise fall back to the scan.
+            from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+
+            gru_kernel_ok = kernel_enabled("gru", use_pallas)
             cd_bytes = jnp.dtype(compute_dtype or out.dtype).itemsize
             budget = 14 * 2**20
             use_fused = (
-                use_pallas
+                gru_kernel_ok
                 and hidden_size % 128 == 0
                 and _pallas_gru_vmem_bytes(b, hidden_size) <= budget
             )
             use_dir = (
-                use_pallas
+                gru_kernel_ok
                 and not use_fused
                 and hidden_size % 128 == 0
                 and _pallas_gru_dir_vmem_bytes(b, hidden_size, cd_bytes)

@@ -225,7 +225,9 @@ def attention(
         return jnp.transpose(a.reshape(b, t, num_heads, head_dim), (0, 2, 1, 3))
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    if use_pallas:
+    from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+
+    if kernel_enabled("attention", use_pallas, sd):
         from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng
 
         # q is pre-scaled above (Bart quirk), so the kernel's scale is 1

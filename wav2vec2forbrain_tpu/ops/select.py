@@ -1,0 +1,80 @@
+"""Per-kernel Pallas selection policy.
+
+``--use_pallas`` is the master switch; this module decides, per fused
+kernel, whether the Pallas implementation or the plain-XLA path runs.
+The measured picture (tools/profile_step.py on v5e, bench shape) is not
+uniform: the attention and GRU kernels beat XLA at every stream dtype,
+but the GLU->depthwise conv kernel only beats XLA's grouped conv for a
+float32 activation stream — at bfloat16 XLA's conv is ~20% faster than
+the shift-add kernel, so "auto" routes the conv module back to XLA there.
+
+Policy values (CLI ``--pallas_kernels``, env ``W2VB_PALLAS_KERNELS``
+overrides for tooling/A-B runs):
+  - "auto" (default): per-kernel measured best, may depend on dtype
+  - "all" / "none": force every kernel on / off
+  - comma list, e.g. "attention,gru": exactly these kernels
+
+Decisions are trace-time static (consulted while tracing a jitted
+program), so a policy change means a recompile, never a silent split.
+"""
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+
+KERNELS = ("preproc", "gru", "attention", "conv_glu")
+
+_policy = "auto"
+
+
+def set_kernel_policy(policy: str) -> None:
+    """Install the process-wide kernel policy (validated)."""
+    global _policy
+    validate_kernel_policy(policy)
+    _policy = policy
+
+
+def get_kernel_policy() -> str:
+    return os.environ.get("W2VB_PALLAS_KERNELS", _policy)
+
+
+def validate_kernel_policy(policy: str) -> None:
+    if policy in ("auto", "all", "none"):
+        return
+    names = {s.strip() for s in policy.split(",") if s.strip()}
+    unknown = names - set(KERNELS)
+    if unknown or not names:
+        raise ValueError(
+            f"pallas_kernels={policy!r}: expected 'auto', 'all', 'none' or "
+            f"a comma list drawn from {KERNELS}"
+        )
+
+
+def kernel_enabled(
+    name: str, use_pallas: bool = True, activation_dtype: Optional[object] = None
+) -> bool:
+    """Should the Pallas kernel `name` run? Trace-time static.
+
+    activation_dtype: the stream dtype the kernel's IO rides (only the
+    dtype-sensitive kernels need to pass it).
+    """
+    assert name in KERNELS, name
+    if not use_pallas:
+        return False
+    policy = get_kernel_policy()
+    if policy == "all":
+        return True
+    if policy == "none":
+        return False
+    if policy == "auto":
+        if name == "conv_glu":
+            # XLA's bf16 grouped conv beats the shift-add kernel; at f32
+            # the fused kernel wins (see module docstring).
+            return (
+                activation_dtype is None
+                or jnp.dtype(activation_dtype) != jnp.bfloat16
+            )
+        return True
+    names = {s.strip() for s in policy.split(",") if s.strip()}
+    return name in names
