@@ -7,6 +7,11 @@ uniform: the attention and GRU kernels beat XLA at every stream dtype,
 but the GLU->depthwise conv kernel only beats XLA's grouped conv for a
 float32 activation stream — at bfloat16 XLA's conv is ~20% faster than
 the shift-add kernel, so "auto" routes the conv module back to XLA there.
+A/B at the bf16 headline shape (conformer-large bs32, v5e, env override):
+all-auto 116.2-118.9 ms/step, attention kernel off 128.9-129.3 (the
+kernel saves ~12 ms), gru+preproc kernels off 117.2-117.7 (a wash here —
+the conformer's brain frontend is small; those kernels earn their keep
+on the gru+w2v family and the 512/1024-hidden sweep configs).
 
 Policy values (CLI ``--pallas_kernels``, env ``W2VB_PALLAS_KERNELS``
 overrides for tooling/A-B runs):
