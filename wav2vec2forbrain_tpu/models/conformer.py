@@ -30,7 +30,11 @@ import jax.numpy as jnp
 
 from wav2vec2forbrain_tpu.models.activations import ACT2FN
 from wav2vec2forbrain_tpu.models.fc import apply_linear, init_linear
-from wav2vec2forbrain_tpu.models.wav2vec2 import _dropout, _layer_norm
+from wav2vec2forbrain_tpu.models.wav2vec2 import (
+    _dropout,
+    _layer_norm,
+    _layer_norm_routed,
+)
 
 
 @dataclass
@@ -316,7 +320,7 @@ def conformer_conv_module(
 ):
     cd = compute_dtype or x.dtype
     sd = x.dtype
-    y = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
+    y = _layer_norm_routed(p["layer_norm"], x, cfg.layer_norm_eps, use_pallas)
     # pointwise conv1 (k=1, no bias) == dense to 2C, then GLU over channels
     y = jnp.dot(
         y.astype(cd), p["pointwise_conv1"]["kernel"].astype(cd),
@@ -364,13 +368,15 @@ def conformer_layer(
 ):
     # FFN1 (half-step)
     residual = x
-    y = _layer_norm(p["ffn1_layer_norm"], x, cfg.layer_norm_eps)
+    y = _layer_norm_routed(p["ffn1_layer_norm"], x, cfg.layer_norm_eps, use_pallas)
     y, rng = conformer_feed_forward(p["ffn1"], y, cfg, rng, train, compute_dtype)
     x = y * 0.5 + residual
 
     # Self-attention
     residual = x
-    y = _layer_norm(p["self_attn_layer_norm"], x, cfg.layer_norm_eps)
+    y = _layer_norm_routed(
+        p["self_attn_layer_norm"], x, cfg.layer_norm_eps, use_pallas
+    )
     y, rng = conformer_self_attention(
         p["self_attn"], y, cfg, cos, sin, rng, train, compute_dtype,
         use_pallas,
@@ -388,10 +394,10 @@ def conformer_layer(
 
     # FFN2 (half-step) + final block LN
     residual = x
-    y = _layer_norm(p["ffn2_layer_norm"], x, cfg.layer_norm_eps)
+    y = _layer_norm_routed(p["ffn2_layer_norm"], x, cfg.layer_norm_eps, use_pallas)
     y, rng = conformer_feed_forward(p["ffn2"], y, cfg, rng, train, compute_dtype)
     x = y * 0.5 + residual
-    x = _layer_norm(p["final_layer_norm"], x, cfg.layer_norm_eps)
+    x = _layer_norm_routed(p["final_layer_norm"], x, cfg.layer_norm_eps, use_pallas)
     return x, new_state, rng
 
 
@@ -429,7 +435,9 @@ def apply_conformer_encoder(
                 lambda new, old: jnp.where(drop[i], old, new), new_s, s_layer
             )
         new_layer_states.append(new_s)
-    x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+    x = _layer_norm_routed(
+        params["layer_norm"], x, cfg.layer_norm_eps, use_pallas
+    )
     return x, {"layers": new_layer_states}
 
 
@@ -522,5 +530,7 @@ def apply_conformer_encoder_scanned(
         (x, rng),
         (params["layers_stacked"], state["layers_stacked"], drop),
     )
-    x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+    x = _layer_norm_routed(
+        params["layer_norm"], x, cfg.layer_norm_eps, use_pallas
+    )
     return x, {"layers_stacked": new_states}

@@ -150,6 +150,19 @@ def _layer_norm(p: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
+def _layer_norm_routed(p: dict, x: jnp.ndarray, eps: float, use_pallas: bool):
+    """LN with per-kernel routing. The fused kernel wins isolated but loses
+    e2e to fusion-boundary costs, so "auto" keeps LN on XLA; explicit
+    policies can still select it (measurements: ops/pallas_layernorm.py)."""
+    from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+
+    if x.ndim == 3 and kernel_enabled("layernorm", use_pallas, x.dtype):
+        from wav2vec2forbrain_tpu.ops.pallas_layernorm import layer_norm_fused
+
+        return layer_norm_fused(x, p["scale"], p["bias"], eps)
+    return _layer_norm(p, x, eps)
+
+
 def _dropout(rng, x: jnp.ndarray, rate: float, train: bool):
     if not train or rate <= 0.0:
         return rng, x
@@ -281,14 +294,16 @@ def encoder_layer(
 ) -> Tuple[jnp.ndarray, Optional[jax.Array]]:
     if cfg.do_stable_layer_norm:
         residual = x
-        y = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
+        y = _layer_norm_routed(p["layer_norm"], x, cfg.layer_norm_eps, use_pallas)
         y, rng = attention(
             p["attention"], y, cfg.num_attention_heads, rng,
             cfg.attention_dropout, train, compute_dtype, use_pallas,
         )
         rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
         x = residual + y
-        ff_in = _layer_norm(p["final_layer_norm"], x, cfg.layer_norm_eps)
+        ff_in = _layer_norm_routed(
+            p["final_layer_norm"], x, cfg.layer_norm_eps, use_pallas
+        )
         y, rng = feed_forward(
             p["feed_forward"], ff_in, cfg, rng, train, compute_dtype
         )
@@ -301,10 +316,12 @@ def encoder_layer(
         )
         rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
         x = residual + y
-        x = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
+        x = _layer_norm_routed(p["layer_norm"], x, cfg.layer_norm_eps, use_pallas)
         y, rng = feed_forward(p["feed_forward"], x, cfg, rng, train, compute_dtype)
         x = x + y
-        x = _layer_norm(p["final_layer_norm"], x, cfg.layer_norm_eps)
+        x = _layer_norm_routed(
+            p["final_layer_norm"], x, cfg.layer_norm_eps, use_pallas
+        )
     return x, rng
 
 
@@ -322,7 +339,9 @@ def apply_w2v_encoder(
     pos = pos_conv_embed(params["pos_conv"], x, cfg)
     x = x + pos
     if not cfg.do_stable_layer_norm:
-        x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+        x = _layer_norm_routed(
+            params["layer_norm"], x, cfg.layer_norm_eps, use_pallas
+        )
     rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
     drop, rng = layerdrop_mask(rng, len(params["layers"]), cfg.layerdrop, train)
     for i, layer in enumerate(params["layers"]):
@@ -331,7 +350,9 @@ def apply_w2v_encoder(
         )
         x = y if drop is None else jnp.where(drop[i], x, y)
     if cfg.do_stable_layer_norm:
-        x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+        x = _layer_norm_routed(
+            params["layer_norm"], x, cfg.layer_norm_eps, use_pallas
+        )
     return x
 
 
@@ -413,7 +434,9 @@ def apply_w2v_encoder_scanned(
     pos = pos_conv_embed(params["pos_conv"], x, cfg)
     x = x + pos
     if not cfg.do_stable_layer_norm:
-        x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+        x = _layer_norm_routed(
+            params["layer_norm"], x, cfg.layer_norm_eps, use_pallas
+        )
     rng, x = _dropout(rng, x, cfg.hidden_dropout, train)
     num_layers = jax.tree_util.tree_leaves(params["layers_stacked"])[0].shape[0]
     drop, rng = layerdrop_mask(rng, num_layers, cfg.layerdrop, train)
@@ -438,7 +461,9 @@ def apply_w2v_encoder_scanned(
 
     (x, _), _ = jax.lax.scan(body, (x, rng), (params["layers_stacked"], drop))
     if cfg.do_stable_layer_norm:
-        x = _layer_norm(params["layer_norm"], x, cfg.layer_norm_eps)
+        x = _layer_norm_routed(
+            params["layer_norm"], x, cfg.layer_norm_eps, use_pallas
+        )
     return x
 
 

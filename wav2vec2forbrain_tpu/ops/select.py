@@ -7,6 +7,15 @@ uniform: the attention and GRU kernels beat XLA at every stream dtype,
 but the GLU->depthwise conv kernel only beats XLA's grouped conv for a
 float32 activation stream — at bfloat16 XLA's conv is ~20% faster than
 the shift-add kernel, so "auto" routes the conv module back to XLA there.
+The fused LayerNorm kernel (ops/pallas_layernorm.py) beats XLA's
+convert+reduce LN fusions in ISOLATION at both stream dtypes
+(tools/ab_layernorm.py on v5e, bench shape: fwd+bwd 0.319 -> 0.268 ms/LN
+at bf16, 0.382 -> 0.311 at f32) but LOSES end-to-end: the full-step A/B
+measured 116.6 ms with LN on XLA vs 117.5-119 with the kernel (unrolled)
+and 191.7 vs 196.4 (scanned) — the opaque custom call breaks XLA's fusion
+of the LN with its surrounding residual adds/converts, costing more than
+the kernel saves. "auto" therefore routes layernorm to XLA; the kernel
+stays selectable for explicit A/B.
 A/B at the bf16 headline shape (conformer-large bs32, v5e, env override):
 all-auto 116.2-118.9 ms/step, attention kernel off 128.9-129.3 (the
 kernel saves ~12 ms), gru+preproc kernels off 117.2-117.7 (a wash here —
@@ -28,7 +37,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-KERNELS = ("preproc", "gru", "attention", "conv_glu")
+KERNELS = ("preproc", "gru", "attention", "conv_glu", "layernorm")
 
 _policy = "auto"
 
@@ -80,6 +89,10 @@ def kernel_enabled(
                 activation_dtype is None
                 or jnp.dtype(activation_dtype) != jnp.bfloat16
             )
+        if name == "layernorm":
+            # wins isolated, loses e2e to broken fusion boundaries (see
+            # module docstring) — XLA keeps the LN at every stream dtype
+            return False
         return True
     names = {s.strip() for s in policy.split(",") if s.strip()}
     return name in names
