@@ -166,6 +166,14 @@ def _layer_norm_routed(p: dict, x: jnp.ndarray, eps: float, use_pallas: bool):
 def _dropout(rng, x: jnp.ndarray, rate: float, train: bool):
     if not train or rate <= 0.0:
         return rng, x
+    from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+
+    if kernel_enabled("dropout", True, x.dtype):
+        # stateless hash dropout: the custom VJP recomputes the mask in the
+        # backward, so no pred residual round-trips HBM (ops/hash_dropout.py)
+        from wav2vec2forbrain_tpu.ops.hash_dropout import dropout_with_rng
+
+        return dropout_with_rng(rng, x, rate, train)
     rng, sub = jax.random.split(rng)
     keep = jax.random.bernoulli(sub, 1.0 - rate, x.shape)
     return rng, jnp.where(keep, x / (1.0 - rate), 0.0)

@@ -15,7 +15,12 @@ measured 116.6 ms with LN on XLA vs 117.5-119 with the kernel (unrolled)
 and 191.7 vs 196.4 (scanned) — the opaque custom call breaks XLA's fusion
 of the LN with its surrounding residual adds/converts, costing more than
 the kernel saves. "auto" therefore routes layernorm to XLA; the kernel
-stays selectable for explicit A/B.
+stays selectable for explicit A/B. Stateless hash dropout
+(ops/hash_dropout.py, policy name "dropout") recomputes its mask in the
+backward instead of storing a pred residual: measured full-step A/B
+113.9-115.4 ms on vs 116.4-117.0 off (unrolled) and 178.7 vs 191.7-192.2
+(scanned, where the masks otherwise ride the remat residuals) — "auto"
+keeps it on.
 A/B at the bf16 headline shape (conformer-large bs32, v5e, env override):
 all-auto 116.2-118.9 ms/step, attention kernel off 128.9-129.3 (the
 kernel saves ~12 ms), gru+preproc kernels off 117.2-117.7 (a wash here —
@@ -37,7 +42,10 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-KERNELS = ("preproc", "gru", "attention", "conv_glu", "layernorm")
+# "dropout" is not a Pallas kernel but an XLA formulation choice (stateless
+# hash mask recomputed in the backward, ops/hash_dropout.py); it rides the
+# same policy knob so A/B runs can flip it like the kernels.
+KERNELS = ("preproc", "gru", "attention", "conv_glu", "layernorm", "dropout")
 
 _policy = "auto"
 
