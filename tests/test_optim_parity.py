@@ -128,3 +128,38 @@ def test_two_module_warmup_matches_torch_lambdalr():
     # adjust flag off: brain lr constant
     ours_flat = two_module_warmup_schedules(base_lr, start, steps, w2v_lr, False)
     assert all(ours_flat.brain(e) == base_lr for e in range(14))
+
+
+def test_adam_mu_dtype_bfloat16():
+    """--adam_mu_dtype=bfloat16 stores the first moment in bf16 and tracks
+    the f32 optimizer's updates to bf16 rounding tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec2forbrain_tpu.train.optim import make_optimizer
+
+    labels = {"a": "brain", "b": "w2v"}
+    params = {
+        "a": jnp.linspace(-1.0, 1.0, 32).reshape(4, 8),
+        "b": jnp.linspace(0.5, 2.0, 16).reshape(2, 8),
+    }
+    grads = jax.tree_util.tree_map(lambda p: 0.1 * p + 0.01, params)
+
+    tx32 = make_optimizer(labels)
+    txbf = make_optimizer(labels, mu_dtype=jnp.bfloat16)
+    s32, sbf = tx32.init(params), txbf.init(params)
+    assert any(
+        getattr(leaf, "dtype", None) == jnp.bfloat16
+        for leaf in jax.tree_util.tree_leaves(sbf)
+    ), "no bf16 moment found in the optimizer state"
+    assert not any(
+        getattr(leaf, "dtype", None) == jnp.bfloat16
+        for leaf in jax.tree_util.tree_leaves(s32)
+    )
+    for _ in range(3):
+        u32, s32 = tx32.update(grads, s32, params)
+        ubf, sbf = txbf.update(grads, sbf, params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(u32), jax.tree_util.tree_leaves(ubf)
+    ):
+        assert jnp.max(jnp.abs(a - b)) < 2e-2

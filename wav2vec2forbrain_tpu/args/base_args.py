@@ -248,6 +248,16 @@ class BaseExperimentArgsModel(BaseModel):
             "coexist in a 16 GB-HBM chip"
         ),
     )
+    adam_mu_dtype: Literal["float32", "bfloat16"] = Field(
+        "float32",
+        description=(
+            "Storage dtype of Adam's first moment (optax mu_dtype). "
+            "bfloat16 halves the moment's HBM footprint and its read+write "
+            "traffic in the fused update (~630 MB and ~2 ms/step for the "
+            "317M-param conformer); float32 = exact torch-Adam parity "
+            "(the second moment always stays float32)"
+        ),
+    )
     h2d_dtype: Literal["float32", "float16", "bfloat16"] = Field(
         "float32",
         description=(

@@ -74,6 +74,13 @@ from wav2vec2forbrain_tpu.train.steps import (
 )
 
 
+def _mu_dtype(cfg):
+    """--adam_mu_dtype -> optax mu_dtype (None = param dtype, torch parity)."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
+
+
 class B2TGruW2VExperimentBase:
     """Shared lifecycle for the two registered experiment types."""
 
@@ -314,6 +321,7 @@ class B2TGruW2VExperimentBase:
             optimizer=cfg.optimizer,
             weight_decay=cfg.weight_decay,
             eps=cfg.optimizer_epsilon,
+            mu_dtype=_mu_dtype(cfg),
         )
         opt_abs = jax.eval_shape(tx.init, trainable_abs)
         step_cfg = StepConfig(
@@ -601,6 +609,7 @@ class B2TGruW2VExperimentBase:
             optimizer=cfg.optimizer,
             weight_decay=cfg.weight_decay,
             eps=cfg.optimizer_epsilon,
+            mu_dtype=_mu_dtype(cfg),
         )
         # place with explicit NamedShardings (like params): jit-inferred
         # output shardings leave some leaves on empty-mesh/unannotated

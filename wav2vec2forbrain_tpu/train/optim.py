@@ -85,18 +85,20 @@ def two_module_warmup_schedules(
 
 
 def _group_core(
-    optimizer: str, weight_decay: float, eps: float
+    optimizer: str, weight_decay: float, eps: float, mu_dtype=None
 ) -> optax.GradientTransformation:
     """Direction/moment transformation WITHOUT the lr scale.
 
     torch Adam: g <- g + wd * p, then Adam moments on g.
     torch SGD (momentum 0): g <- g + wd * p.
+    mu_dtype: storage dtype of Adam's first moment (--adam_mu_dtype);
+    None keeps the param dtype (f32 = torch parity).
     """
     parts = []
     if weight_decay != 0.0:
         parts.append(optax.add_decayed_weights(weight_decay))
     if optimizer == "adam":
-        parts.append(optax.scale_by_adam(eps=eps))
+        parts.append(optax.scale_by_adam(eps=eps, mu_dtype=mu_dtype))
     elif optimizer == "sgd":
         pass
     else:
@@ -109,12 +111,13 @@ def make_optimizer(
     optimizer: str = "adam",
     weight_decay: float = 0.0,
     eps: float = 1e-8,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """multi_transform over the label pytree; frozen params get zero updates."""
     return optax.multi_transform(
         {
-            "brain": _group_core(optimizer, weight_decay, eps),
-            "w2v": _group_core(optimizer, weight_decay, eps),
+            "brain": _group_core(optimizer, weight_decay, eps, mu_dtype),
+            "w2v": _group_core(optimizer, weight_decay, eps, mu_dtype),
             "frozen": optax.set_to_zero(),
         },
         labels,
