@@ -83,6 +83,10 @@ def _bench_configs(on_accel, family):
             # features live in HBM at f16 (device_data_cache): the wire
             # dtype is also the cache storage dtype
             h2d_dtype="float16",
+            # bf16 first moment: -2 ms/step measured (112.0 vs 113.9 ms,
+            # tools/profile_step.py --mu-dtype A/B); documented TPU-native
+            # option, f32 remains the torch-parity default
+            adam_mu_dtype="bfloat16",
         )
         steps, warmup = 20, 3
     elif on_accel:  # fft-sweep wav2vec2-base full-fine-tune shape
@@ -112,6 +116,10 @@ def _bench_configs(on_accel, family):
             pad_to_multiple=384,
             target_pad_to_multiple=64,
             h2d_dtype="float16",
+            # bf16 first moment: -2 ms/step measured (112.0 vs 113.9 ms,
+            # tools/profile_step.py --mu-dtype A/B); documented TPU-native
+            # option, f32 remains the torch-parity default
+            adam_mu_dtype="bfloat16",
         )
         steps, warmup = 20, 3
     else:  # CPU smoke mode

@@ -74,6 +74,9 @@ def main():
                     help="encoder activation-stream dtype")
     ap.add_argument("--only", default=None, choices=[None, "full"],
                     help="'full': stop after the full-step timing")
+    ap.add_argument("--mu-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="Adam first-moment storage dtype (--adam_mu_dtype)")
     args = ap.parse_args()
 
     from wav2vec2forbrain_tpu.util.tpu_setup import configure_jax
@@ -118,7 +121,10 @@ def main():
     labels = param_labels(params, "brain_encoder+w2v")
     trainable, frozen = partition_params(params, labels)
     tlabels = prune_labels(labels, trainable)
-    tx = make_optimizer(tlabels)
+    tx = make_optimizer(
+        tlabels,
+        mu_dtype=jnp.bfloat16 if args.mu_dtype == "bfloat16" else None,
+    )
     opt_state = jax.jit(tx.init)(trainable)
     train_step, _ = build_steps(spec, tlabels, tx, StepConfig(None, 0.0, 0.0))
 

@@ -217,6 +217,12 @@ def init_model_params(rng, spec: ModelSpec) -> Tuple[dict, dict]:
 def _dropout(rng, x, rate, train):
     if not train or rate <= 0.0:
         return rng, x
+    from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+
+    if kernel_enabled("dropout", True, x.dtype):
+        from wav2vec2forbrain_tpu.ops.hash_dropout import dropout_with_rng
+
+        return dropout_with_rng(rng, x, rate, train)
     rng, sub = jax.random.split(rng)
     keep = jax.random.bernoulli(sub, 1.0 - rate, x.shape)
     return rng, jnp.where(keep, x / (1.0 - rate), 0.0)

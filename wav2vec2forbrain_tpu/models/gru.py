@@ -273,7 +273,18 @@ def apply_gru(
             )
         if train and dropout > 0.0 and layer < num_layers - 1:
             assert dropout_rng is not None, "dropout_rng required in train mode"
-            dropout_rng, sub = jax.random.split(dropout_rng)
-            keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
-            out = jnp.where(keep, out / (1.0 - dropout), 0.0)
+            from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+
+            if kernel_enabled("dropout", True, out.dtype):
+                from wav2vec2forbrain_tpu.ops.hash_dropout import (
+                    dropout_with_rng,
+                )
+
+                dropout_rng, out = dropout_with_rng(
+                    dropout_rng, out, dropout, train
+                )
+            else:
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
+                out = jnp.where(keep, out / (1.0 - dropout), 0.0)
     return out
