@@ -90,5 +90,5 @@ class YamlConfig:
             return YamlConfigModel(**file_content)
         except Exception as e:
             raise Exception(
-                f"Error validating fields in config file {self.config_path}: \n{e}"
+                f"{self.config_path} failed schema validation:\n{e}"
             )
