@@ -181,6 +181,9 @@ def _make_experiment(tmp, on_accel, family, **overrides):
         w2v_skip_loading_weights=True,  # random init: no HF download
         scan_layers="auto",
         return_best_model=False,  # keep tunnel D2H out of the timing
+        # skip the post-train model.msgpack fetch: ~1.2 GB D2H through the
+        # tunnel costs minutes of bench wall and is not part of the metric
+        store_final_model=False,
         use_wandb=False,
         seed=0,
         **run_cfg,

@@ -94,6 +94,19 @@ def test_gru_w2v_e2e_run(tmp_path, synthetic_splits_dir, tiny_encoders):
     assert any("test_ctc_loss" in row for row in metric_rows)
 
 
+def test_store_final_model_off(tmp_path, synthetic_splits_dir, tiny_encoders):
+    """--store_final_model=false skips the model.msgpack D2H fetch but keeps
+    every metrics artifact (bench/sweep harness mode)."""
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    exp = impl.B2TGruAndW2VExperiment(
+        base_config(epochs=1, store_final_model=False), yaml_cfg
+    )
+    exp.run()
+    assert not os.path.exists(os.path.join(exp.results_dir, "model.msgpack"))
+    for artifact in ("config.json", "history.json", "metrics.jsonl"):
+        assert os.path.exists(os.path.join(exp.results_dir, artifact))
+
+
 def test_conformer_e2e_run(tmp_path, synthetic_splits_dir, tiny_encoders):
     yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
     cfg = base_config(

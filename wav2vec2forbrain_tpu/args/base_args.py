@@ -300,3 +300,14 @@ class BaseExperimentArgsModel(BaseModel):
             "restarts schedulers, matching the reference)"
         ),
     )
+    store_final_model: bool = Field(
+        True,
+        description=(
+            "Write model.msgpack (and brain_encoder.msgpack when "
+            "--store_brain_encoder) to the results dir after training. "
+            "False skips the device-to-host parameter fetch — on "
+            "remote-attached TPUs pulling the 317M-param conformer takes "
+            "minutes; benchmark/sweep harnesses that only consume metrics "
+            "can turn it off"
+        ),
+    )

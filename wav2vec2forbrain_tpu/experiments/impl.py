@@ -905,7 +905,8 @@ class B2TGruW2VExperimentBase:
                 self.frozen = trainer.frozen
                 self.opt_state = trainer.opt_state
                 self.model_state = trainer.model_state
-                self.store_trained_model()
+                if self.base_config.store_final_model:
+                    self.store_trained_model()
                 with open(
                     os.path.join(self.results_dir, "history.json"), "w"
                 ) as f:
