@@ -290,7 +290,9 @@ def main():
         return run
 
     blocks = {
-        "ffn_x24": lambda p, h, key: conformer_feed_forward(
+        # one macaron HALF; the layer runs two of these (ffn1 + ffn2), so
+        # the per-step FFN share is 2x this number
+        "ffn_half_x24": lambda p, h, key: conformer_feed_forward(
             p["ffn1"], h, cfg, key, True, jnp.bfloat16
         )[0],
         "attn_x24": lambda p, h, key: conformer_self_attention(
