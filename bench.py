@@ -254,10 +254,20 @@ def bench_isolated_step(exp, steps, warmup):
         float(out.loss)
         dt = time.perf_counter() - t0
         best = max(best, batch_size * steps / dt)
+    # inference/serving figure: the already-compiled eval-mode forward
+    # (no dropout, no backward, no optimizer) on the same resident batch
+    best_eval = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            ev = tr.eval_step(trainable, frozen, state, batch)
+        float(ev[0])
+        dt = time.perf_counter() - t0
+        best_eval = max(best_eval, batch_size * steps / dt)
     # the isolated stepping DONATED the experiment's param/opt/state buffers
     # into its step chain; drop our refs so _reset_device_state can rebuild
     del out, ev, trainable, frozen, opt_state, state, batch, tr
-    return best
+    return best, best_eval
 
 
 def _reset_device_state(exp):
@@ -279,7 +289,8 @@ def _reset_device_state(exp):
 def bench_family(tmp, on_accel, family="conformer", **overrides):
     """One experiment, two measurements: isolated step timing (which doubles
     as the full warmup), then the real Trainer run on the same jit programs.
-    Returns (isolated, e2e_median, per-epoch list, wall seconds).
+    Returns (isolated_train, isolated_eval, e2e_median, per-epoch list,
+    wall seconds).
 
     On accelerators the encoder is explicitly UNROLLED (scan_layers=false):
     this benchmark measures steady state at a known single-bucket shape, and
@@ -288,7 +299,7 @@ def bench_family(tmp, on_accel, family="conformer", **overrides):
     cfg = dict(scan_layers=False) if on_accel else {}
     cfg.update(overrides)
     exp, steps, warmup = _make_experiment(tmp, on_accel, family, **cfg)
-    isolated = bench_isolated_step(exp, steps, warmup)
+    isolated, isolated_eval = bench_isolated_step(exp, steps, warmup)
     _reset_device_state(exp)
     t0 = time.perf_counter()
     exp.run()
@@ -305,7 +316,7 @@ def bench_family(tmp, on_accel, family="conformer", **overrides):
     # median over the warm epochs (epoch 1 still carries residual host-side
     # start-up; single-epoch readings swing ±20% with tunnel/host conditions)
     warm = tput[1:] or tput
-    return isolated, float(np.median(warm)), tput, wall
+    return isolated, isolated_eval, float(np.median(warm)), tput, wall
 
 
 def main():
@@ -373,7 +384,7 @@ def main():
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     extra = {}
     try:
-        isolated, e2e, epochs_tput, e2e_wall, e2e_cfg = (
+        isolated, isolated_eval, e2e, epochs_tput, e2e_wall, e2e_cfg = (
             run_family_with_fallbacks(tmp, "conformer")
         )
 
@@ -383,6 +394,11 @@ def main():
             "isolated_train_step_samples_per_sec_per_chip": round(isolated, 2),
             "isolated_vs_baseline": round(
                 isolated / A100_CONFORMER_SAMPLES_PER_SEC_EST, 3
+            ),
+            # serving figure: eval-mode forward (no dropout/backward/
+            # optimizer) on the same compiled experiment
+            "isolated_inference_samples_per_sec_per_chip": round(
+                isolated_eval, 2
             ),
             "per_epoch_samples_per_sec_per_chip": [
                 round(t, 2) for t in epochs_tput
@@ -407,7 +423,7 @@ def main():
 
             gc.collect()  # free the conformer family's device state first
             try:
-                w2v_iso, w2v_e2e, w2v_epochs, _wall, _cfg = (
+                w2v_iso, w2v_ieval, w2v_e2e, w2v_epochs, _wall, _cfg = (
                     run_family_with_fallbacks(tmp, "w2v_base")
                 )
                 extra["w2v_base_fft_isolated_samples_per_sec_per_chip"] = round(
@@ -418,6 +434,9 @@ def main():
                 )
                 extra["w2v_base_fft_e2e_vs_a100"] = round(
                     w2v_e2e / A100_W2V_BASE_SAMPLES_PER_SEC_MEASURED, 3
+                )
+                extra["w2v_base_inference_samples_per_sec_per_chip"] = round(
+                    w2v_ieval, 2
                 )
                 extra["w2v_base_per_epoch"] = [
                     round(t, 2) for t in w2v_epochs
