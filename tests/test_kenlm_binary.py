@@ -170,6 +170,19 @@ def test_reject_wrong_format_version(lm_paths, tmp_path):
         CTCBeamDecoder(VOCAB, lm_path=str(p))
 
 
+def test_reject_overflowing_counts(lm_paths, tmp_path):
+    """Adversarial counts[]: a value whose buckets*entry_size wraps uint64
+    must be rejected at load, not mis-mapped (kenlm_binary.h overflow-safe
+    section arithmetic: rows > (map_size - off) / entry_size)."""
+    _, binary = lm_paths
+    # counts[] = 3 u64 at offset 108 (order-3 model); poison the bigram count
+    p = _patched_copy(
+        binary, tmp_path, "hugecounts.bin", 116, "<Q", (1 << 62) + 12345
+    )
+    with pytest.raises(RuntimeError):
+        CTCBeamDecoder(VOCAB, lm_path=p)
+
+
 def test_reject_truncated(lm_paths, tmp_path):
     _, binary = lm_paths
     data = open(binary, "rb").read()
