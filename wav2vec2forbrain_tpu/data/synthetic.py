@@ -23,6 +23,37 @@ def _random_sentence(rng: np.random.Generator, n_words: int) -> str:
     return " ".join(rng.choice(_WORDS, size=n_words))
 
 
+def _char_patterns(n_channels: int) -> np.ndarray:
+    """Deterministic per-character channel patterns (27 x C): a fixed
+    pseudo-'articulator' code for a-z + space. Seeded independently of the
+    trial RNG so every session encodes characters the same way."""
+    rng = np.random.default_rng(20260818)
+    return rng.normal(size=(27, n_channels))
+
+
+def _char_ids(sentence: str) -> np.ndarray:
+    ids = []
+    for ch in sentence.lower():
+        if ch == " ":
+            ids.append(26)
+        elif "a" <= ch <= "z":
+            ids.append(ord(ch) - ord("a"))
+    return np.asarray(ids, dtype=np.int64)
+
+
+def _signal_track(sentence: str, t: int, n_channels: int) -> np.ndarray:
+    """(T, C) additive signal: the sentence's characters stretched uniformly
+    over the trial's frames, each frame carrying its character's pattern.
+    This gives the synthetic data a learnable neural code (monotonically
+    aligned, like real articulation), so end-to-end runs can drive WER down
+    instead of only memorizing the text marginal."""
+    ids = _char_ids(sentence)
+    if ids.size == 0:
+        return np.zeros((t, n_channels))
+    frame_char = ids[np.minimum((np.arange(t) * ids.size) // t, ids.size - 1)]
+    return _char_patterns(n_channels)[frame_char]
+
+
 def make_session_mat(
     path: str,
     n_trials: int = 6,
@@ -31,11 +62,17 @@ def make_session_mat(
     max_frames: int = 250,
     n_channels: int = 256,
     seed: int = 0,
+    signal_strength: float = 0.0,
 ) -> None:
     """NB: frames must comfortably exceed the unfold contraction
     ((T-32)//4 output frames) vs the sentence length in characters, or every
     sample is CTC-infeasible and the loss is identically zero."""
-    """Write one session .mat with the loader's expected schema."""
+    """Write one session .mat with the loader's expected schema.
+
+    signal_strength > 0 adds a character-aligned channel code to the noise
+    (see _signal_track), making the task learnable — the data regime for
+    end-to-end WER-convergence demos. 0 (default) keeps pure noise, the
+    regime every existing throughput/e2e-mechanics test uses."""
     rng = np.random.default_rng(seed)
     tx1 = np.empty((1, n_trials), dtype=object)
     spike_pow = np.empty((1, n_trials), dtype=object)
@@ -43,14 +80,22 @@ def make_session_mat(
     block_idx = np.zeros((n_trials, 1), dtype=np.float64)
     for i in range(n_trials):
         t = int(rng.integers(min_frames, max_frames + 1))
-        tx1[0, i] = rng.poisson(2.0, size=(t, n_channels)).astype(np.float64)
-        spike_pow[0, i] = (rng.gamma(2.0, 1.0, size=(t, n_channels))).astype(
-            np.float64
-        )
         # keep target_len (chars) well under the (t-32)//4 encoder frames so
         # CTC stays feasible; ~12 frames per word (avg 5 chars + space)
         hi = max(5, min(((t - 32) // 4) // 12, 10))
-        sentences.append(_random_sentence(rng, int(rng.integers(2, hi))))
+        sentence = _random_sentence(rng, int(rng.integers(2, hi)))
+        sentences.append(sentence)
+        sig = (
+            signal_strength * _signal_track(sentence, t, n_channels)
+            if signal_strength > 0.0
+            else 0.0
+        )
+        tx1[0, i] = (
+            rng.poisson(2.0, size=(t, n_channels)).astype(np.float64) + sig
+        )
+        spike_pow[0, i] = (
+            rng.gamma(2.0, 1.0, size=(t, n_channels)).astype(np.float64) + sig
+        )
         block_idx[i, 0] = float(i * n_blocks // n_trials + 1)
     savemat(
         path,
@@ -73,6 +118,7 @@ def make_synthetic_splits_dir(
     test_dir_n_trials: Optional[int] = None,
     min_frames: int = 150,
     max_frames: int = 250,
+    signal_strength: float = 0.0,
 ) -> str:
     """Create train/ and test/ split dirs populated with synthetic sessions.
 
@@ -105,5 +151,6 @@ def make_synthetic_splits_dir(
                 min_frames=min_frames,
                 max_frames=max_frames,
                 seed=seed + 1000 * dirs.index(split_dir) + k,
+                signal_strength=signal_strength,
             )
     return str(root_path)
