@@ -151,6 +151,10 @@ def main():
         "--target_pad_to_multiple=64", "--h2d_dtype=float16",
         "--adam_mu_dtype=bfloat16", "--scan_layers=auto",
         "--store_final_model=false", "--use_wandb=false", "--seed=0",
+        # through the remote tunnel each improving epoch's best-model
+        # checkpoint is a ~1.2 GB D2H fetch; final-weights eval keeps the
+        # demo's wall time about the training, not the transfers
+        "--return_best_model=false",
         "--lm_decode_test_predictions=true",
         f"--lm_decode_beam_width={args.beam_width}",
         "--lm_decode_alpha=0.5", "--lm_decode_beta=0.5",
