@@ -235,3 +235,53 @@ def test_post_encoder_representations(tmp_path, synthetic_splits_dir, monkeypatc
     assert "centroid_cosine" in stats["pre"]
     assert "centroid_cosine" in stats["post"]
     assert np.isfinite(stats["post"]["centroid_cosine"])
+
+
+def test_greedy_decode_truncates_at_batch_max_len():
+    """The greedy evaluator decodes exactly the width the reference pads to
+    (max(logit_lens)), so --pad_to_multiple bucket tails never leak argmax
+    garbage into WER; frames between a sample's own length and the batch max
+    ARE decoded (reference parity: evaluator.py:57-120 decodes the full
+    batch-max-padded tensor)."""
+    from wav2vec2forbrain_tpu.data.batch import B2tBatch
+    from wav2vec2forbrain_tpu.data.tokenizer import Wav2Vec2CTCTokenizer
+    from wav2vec2forbrain_tpu.train.evaluator import DefaultEvaluator
+
+    tok = Wav2Vec2CTCTokenizer()
+    vocab = tok.get_vocab_list()
+    a_id = vocab.index("A")
+    t_id = vocab.index("T")
+    # 2 samples, bucket width 8; logit_lens = [3, 5] -> decode width 5.
+    # Sample 0 carries garbage in frames 3..4 (inside batch max: decoded,
+    # like the reference) and in 5..7 (bucket tail: dropped).
+    pad = 0
+    pred_ids = np.array(
+        [
+            [a_id, pad, pad, t_id, pad, t_id, t_id, t_id],
+            [a_id, pad, a_id, pad, a_id, t_id, t_id, t_id],
+        ],
+        dtype=np.int32,
+    )
+    target = np.array([[a_id, t_id], [a_id, a_id]], dtype=np.int32)
+    batch = B2tBatch(
+        input=np.zeros((2, 8, 4), np.float32),
+        target=target,
+        day_idxs=np.zeros((2,), np.int32),
+        input_lens=np.array([3, 5], np.int32),
+        target_lens=np.array([2, 2], np.int32),
+    )
+    ev = DefaultEvaluator(tok, "val")
+    preds = {
+        "loss": 0.0,
+        "pred_ids": pred_ids,
+        "logit_lens": np.array([3, 5], np.int32),
+    }
+    decoded, _labels = ev.decode_predictions(preds, batch)
+    assert decoded[0] == "AT"     # frame-3 T decoded, bucket tail T's not
+    assert decoded[1] == "AAA"    # three A's collapse-safe via pad gaps
+
+    # without logit_lens the full width decodes (backward-compatible path)
+    decoded_full, _ = ev.decode_predictions(
+        {"loss": 0.0, "pred_ids": pred_ids}, batch
+    )
+    assert decoded_full[0] == "ATT"

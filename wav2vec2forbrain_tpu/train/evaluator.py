@@ -92,8 +92,23 @@ class DefaultEvaluator(Evaluator):
         self.history = SingleEpochHistory()
 
     def decode_predictions(self, predictions, batch):
+        pred_ids = np.asarray(predictions["pred_ids"])
+        # Reproduce the reference's EFFECTIVE greedy-decode width. The
+        # reference pads each batch only to its own max length, so
+        # tokenizer.batch_decode sees frames up to max(logit_lens) — per-
+        # sample frames between a sample's length and the batch max ARE
+        # decoded there (ref: evaluator.py:57-120 decodes the full padded
+        # tensor). Our --pad_to_multiple buckets pad FURTHER, to a shape the
+        # reference never materializes; decoding that bucket tail would leak
+        # the TPU shape strategy into the WER metric (trained models emit
+        # argmax garbage on all-pad frames, measured +0.2 WER at loss ~0).
+        # Truncating at the batch max restores the reference's width exactly.
+        if "logit_lens" in predictions:
+            lens = np.asarray(predictions["logit_lens"])
+            if lens.size:
+                pred_ids = pred_ids[:, : max(1, int(lens.max()))]
         predicted_strings = self.tokenizer.batch_decode(
-            np.asarray(predictions["pred_ids"]), group_tokens=True
+            pred_ids, group_tokens=True
         )
         label_strings = (
             self.tokenizer.batch_decode(np.asarray(batch.target), group_tokens=False)

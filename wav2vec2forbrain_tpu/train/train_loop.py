@@ -282,7 +282,13 @@ class Trainer:
         def process(out, host_batch, true_b, i):
             loss = float(out.loss)
             pred_ids = np.asarray(out.pred_ids)[:true_b]
-            preds = {"loss": loss, "pred_ids": pred_ids}
+            preds = {
+                "loss": loss,
+                "pred_ids": pred_ids,
+                # (B,) ints: lets the evaluator truncate the decode at the
+                # batch-max length (the width the reference pads to)
+                "logit_lens": np.asarray(out.logit_lens)[:true_b],
+            }
             if out.metrics:
                 # aux-head scalars (ctc/intermediate/combined loss)
                 preds["metrics"] = {
@@ -350,9 +356,9 @@ class Trainer:
             }
             if metrics:
                 preds["metrics"] = {k: float(v) for k, v in metrics.items()}
+            preds["logit_lens"] = np.asarray(logit_lens)[:true_b]
             if need_logits:
                 preds["logits"] = np.asarray(logits)[:true_b]
-                preds["logit_lens"] = np.asarray(logit_lens)[:true_b]
             evaluator.track_batch(preds, host_batch)
             if i % self.config.log_every_n_batches == (
                 self.config.log_every_n_batches - 1
