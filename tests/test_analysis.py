@@ -285,3 +285,37 @@ def test_greedy_decode_truncates_at_batch_max_len():
         {"loss": 0.0, "pred_ids": pred_ids}, batch
     )
     assert decoded_full[0] == "ATT"
+
+
+def test_greedy_decode_crop_lens_blanks_per_sample_tail():
+    """--greedy_decode_crop_lens: per-sample frames past logit_lens are
+    blanked (opt-in; default keeps reference batch-max-width behaviour)."""
+    from wav2vec2forbrain_tpu.data.batch import B2tBatch
+    from wav2vec2forbrain_tpu.data.tokenizer import Wav2Vec2CTCTokenizer
+    from wav2vec2forbrain_tpu.train.evaluator import DefaultEvaluator
+
+    tok = Wav2Vec2CTCTokenizer()
+    vocab = tok.get_vocab_list()
+    a_id, t_id = vocab.index("A"), vocab.index("T")
+    pred_ids = np.array(
+        [[a_id, 0, 0, t_id, 0], [a_id, 0, a_id, 0, a_id]], dtype=np.int32
+    )
+    batch = B2tBatch(
+        input=np.zeros((2, 5, 4), np.float32),
+        target=np.array([[a_id], [a_id]], np.int32),
+        day_idxs=np.zeros((2,), np.int32),
+        input_lens=np.array([3, 5], np.int32),
+        target_lens=np.array([1, 1], np.int32),
+    )
+    preds = {
+        "loss": 0.0,
+        "pred_ids": pred_ids,
+        "logit_lens": np.array([3, 5], np.int32),
+    }
+    cropped = DefaultEvaluator(tok, "val", crop_lens=True)
+    dec, _ = cropped.decode_predictions(preds, batch)
+    assert dec[0] == "A"  # frame-3 T is past sample 0's length: blanked
+    assert dec[1] == "AAA"
+    parity = DefaultEvaluator(tok, "val")
+    dec2, _ = parity.decode_predictions(preds, batch)
+    assert dec2[0] == "AT"

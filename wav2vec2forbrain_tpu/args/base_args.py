@@ -300,6 +300,16 @@ class BaseExperimentArgsModel(BaseModel):
             "restarts schedulers, matching the reference)"
         ),
     )
+    greedy_decode_crop_lens: bool = Field(
+        False,
+        description=(
+            "Blank each sample's argmax ids past its own logit length "
+            "before greedy decode, so WER/CER score only real frames. "
+            "False = reference behaviour (every sample decodes at the "
+            "batch-max width; shorter samples' pad frames contribute "
+            "argmax garbage to the greedy metric)"
+        ),
+    )
     store_final_model: bool = Field(
         True,
         description=(

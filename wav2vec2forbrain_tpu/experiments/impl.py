@@ -776,6 +776,7 @@ class B2TGruW2VExperimentBase:
             lm_decoder=self._make_lm_decoder() if mode == "test" else None,
             track_non_test_predictions=track_non_test_predictions,
             lm_decode_test_predictions=self.base_config.lm_decode_test_predictions,
+            crop_lens=self.base_config.greedy_decode_crop_lens,
         )
 
     def decode_predictions(self, pred_ids, targets=None):

@@ -86,9 +86,11 @@ class DefaultEvaluator(Evaluator):
         tokenizer,
         mode: Literal["train", "val", "test"],
         track_non_test_predictions: bool = False,
+        crop_lens: bool = False,
     ):
         super().__init__(mode, track_non_test_predictions)
         self.tokenizer = tokenizer
+        self.crop_lens = crop_lens
         self.history = SingleEpochHistory()
 
     def decode_predictions(self, predictions, batch):
@@ -107,6 +109,19 @@ class DefaultEvaluator(Evaluator):
             lens = np.asarray(predictions["logit_lens"])
             if lens.size:
                 pred_ids = pred_ids[:, : max(1, int(lens.max()))]
+                if self.crop_lens:
+                    # --greedy_decode_crop_lens: ALSO blank each sample's
+                    # frames past its own length. NOT reference behaviour
+                    # (the reference decodes every sample at the batch-max
+                    # width, so its greedy WER absorbs argmax garbage from
+                    # shorter samples' pad frames); opt-in for an honest
+                    # per-sample greedy metric. Pad id 0 is dropped by
+                    # group_tokens decoding.
+                    pred_ids = np.where(
+                        np.arange(pred_ids.shape[1])[None, :] < lens[:, None],
+                        pred_ids,
+                        0,
+                    )
         predicted_strings = self.tokenizer.batch_decode(
             pred_ids, group_tokens=True
         )
@@ -156,8 +171,9 @@ class EvaluatorWithLMDecoder(DefaultEvaluator):
         lm_decoder: Optional[Callable] = None,
         track_non_test_predictions: bool = False,
         lm_decode_test_predictions: bool = False,
+        crop_lens: bool = False,
     ):
-        super().__init__(tokenizer, mode, track_non_test_predictions)
+        super().__init__(tokenizer, mode, track_non_test_predictions, crop_lens)
         self.lm_decoder = (
             lm_decoder if (lm_decode_test_predictions and mode == "test") else None
         )
