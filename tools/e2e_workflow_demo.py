@@ -88,6 +88,8 @@ def main():
     ap.add_argument("--trials", type=int, default=300)
     ap.add_argument("--signal", type=float, default=1.0)
     ap.add_argument("--beam_width", type=int, default=50)
+    ap.add_argument("--crop_lens", action="store_true",
+                    help="pass --greedy_decode_crop_lens=true")
     args = ap.parse_args()
 
     from scipy.io import loadmat
@@ -159,6 +161,8 @@ def main():
         f"--lm_decode_beam_width={args.beam_width}",
         "--lm_decode_alpha=0.5", "--lm_decode_beta=0.5",
     ]
+    if args.crop_lens:
+        cmd.append("--greedy_decode_crop_lens=true")
     print("+", " ".join(cmd), flush=True)
     env = dict(os.environ, PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
     subprocess.run(cmd, cwd=ws, check=True, env=env)
