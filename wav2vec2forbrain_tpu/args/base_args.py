@@ -44,6 +44,30 @@ class B2TDatasetArgsModel(BaseModel):
     area: Literal["6v", "44"] = "6v"
 
 
+class CTCTextDatasetArgsModel(BaseModel):
+    """Flags of the reference's synthetic CTC-text corruption dataset
+    (ref: src/args/base_args.py:34-48). VESTIGIAL there: no experiment in
+    the reference tree consumes this model (its `b2t_ctc_lm*` experiment
+    types are unregistered and crash at dispatch); kept as public module
+    surface with the same field names/defaults."""
+
+    limit_samples: Optional[int] = Field(
+        default=None, description="Cap the dataset at this many samples"
+    )
+    train_ratio: float = 0.8
+    val_ratio: float = 0.1
+    test_ratio: float = 0.1
+    avg_num_blank_after_char: int = 6
+    insert_wrong_char_prob: float = 0.05
+    remove_char_prob: float = 0.05
+    noise_mean: float = -16
+    noise_std: float = 2
+    correct_as_second_prob: float = 0.2
+    random_second_id_in_blank_prob: float = 0.1
+    cache_generated_samples: bool = False
+    remove_punctuation: bool = True
+
+
 class BaseExperimentArgsModel(BaseModel):
     """Base experiment flags (ref: src/args/base_args.py:50-134).
 
