@@ -1,0 +1,169 @@
+"""ZeRO-1 optimizer-state sharding (parallel/zero.py).
+
+On a dp mesh the Adam moments scatter over the data axis; the train step
+must produce the same numbers as the replicated layout (the collectives
+XLA inserts are reduce-scatter/all-gather pairs of the same all-reduce),
+keep params replicated-over-data at the output (the fixpoint constraint
+in train/steps.py), and actually shrink the per-device moment footprint.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wav2vec2forbrain_tpu.models.assembly import (
+    ModelSpec,
+    init_model_params,
+    param_labels,
+)
+from wav2vec2forbrain_tpu.models.conformer import ConformerEncoderConfig
+from wav2vec2forbrain_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+)
+from wav2vec2forbrain_tpu.parallel.zero import (
+    opt_state_shardings,
+    sharded_fraction,
+)
+from wav2vec2forbrain_tpu.train.optim import make_optimizer
+from wav2vec2forbrain_tpu.train.steps import (
+    StepConfig,
+    build_steps,
+    partition_params,
+    prune_labels,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs 4 virtual devices"
+)
+
+DP = 4
+
+
+def _make_batch(rng, batch_size, t, u):
+    from wav2vec2forbrain_tpu.data.batch import B2tBatch
+
+    return B2tBatch(
+        input=rng.standard_normal((batch_size, t, 256)).astype(np.float32),
+        target=rng.integers(4, 30, size=(batch_size, u)).astype(np.int32),
+        day_idxs=rng.integers(0, 24, size=(batch_size,)).astype(np.int32),
+        input_lens=np.full((batch_size,), t, np.int32),
+        target_lens=np.full((batch_size,), u, np.int32),
+        sample_mask=np.ones((batch_size,), np.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = make_mesh(data_parallel=DP, model_parallel=1, devices=jax.devices()[:DP])
+    cfg = ConformerEncoderConfig.tiny_test(
+        hidden_size=64, num_attention_heads=4, intermediate_size=128
+    )
+    spec = ModelSpec(
+        gru_hidden_size=32,
+        gru_num_layers=1,
+        latent_size=64,
+        encoder_family="conformer",
+        conformer_cfg=cfg,
+        compute_dtype=jnp.float32,
+        scan_layers=True,
+    )
+    params, state = init_model_params(jax.random.PRNGKey(0), spec)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    state = jax.tree_util.tree_map(np.asarray, state)
+    labels = param_labels(params, "brain_encoder+w2v")
+    trainable, frozen = partition_params(params, labels)
+    tlabels = prune_labels(labels, trainable)
+    tx = make_optimizer(tlabels)
+    batch = _make_batch(np.random.default_rng(0), DP * 2, t=96, u=8)
+    batch = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, batch_sharding(mesh)), batch
+    )
+    return mesh, spec, params, state, labels, tlabels, tx, batch
+
+
+def _run_steps(setup_tuple, zero1: bool, n_steps: int = 2):
+    mesh, spec, params, state, labels, tlabels, tx, batch = setup_tuple
+    trainable, frozen = partition_params(params, labels)
+
+    def put(tree, shardings):
+        return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+    trainable = put(trainable, param_shardings(trainable, mesh))
+    frozen = put(frozen, param_shardings(frozen, mesh))
+    st = put(state, param_shardings(state, mesh))
+    opt_state = jax.jit(tx.init)(trainable)
+    if zero1:
+        o_sh = opt_state_shardings(opt_state, mesh)
+        opt_state = put(jax.device_get(opt_state), o_sh)
+        constraints = (param_shardings(trainable, mesh), o_sh)
+    else:
+        opt_state = put(
+            jax.device_get(opt_state), param_shardings(opt_state, mesh)
+        )
+        constraints = None
+    train_step, _ = build_steps(
+        spec, tlabels, tx, StepConfig(None, 0.0, 0.0),
+        state_constraints=constraints,
+    )
+    losses = []
+    out = None
+    for i in range(n_steps):
+        out = train_step(
+            trainable if out is None else out.params,
+            frozen,
+            opt_state if out is None else out.opt_state,
+            st if out is None else out.model_state,
+            batch,
+            jax.random.PRNGKey(7),  # same key every step: deterministic A/B
+            1e-3,
+            1e-4,
+        )
+        losses.append(float(out.loss))
+    return losses, out
+
+
+def test_zero1_matches_replicated(setup):
+    losses_rep, out_rep = _run_steps(setup, zero1=False)
+    losses_z, out_z = _run_steps(setup, zero1=True)
+    np.testing.assert_allclose(losses_z, losses_rep, rtol=1e-5)
+    # updated params agree leaf-for-leaf after two optimizer steps
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out_rep.params),
+        jax.tree_util.tree_leaves(out_z.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
+
+
+def test_zero1_state_is_scattered_and_stable(setup):
+    _, out = _run_steps(setup, zero1=True, n_steps=1)
+    # moments: most bytes scattered over data, per-device shards 1/DP-sized
+    shardings = jax.tree_util.tree_map(lambda l: l.sharding, out.opt_state)
+    frac = sharded_fraction(shardings, out.opt_state)
+    assert frac > 0.9, f"only {frac:.2%} of opt-state bytes are data-sharded"
+    scattered = 0
+    for leaf in jax.tree_util.tree_leaves(out.opt_state):
+        if leaf.ndim == 0:
+            continue
+        shard = leaf.addressable_shards[0].data
+        if shard.size == leaf.size // DP:
+            scattered += 1
+            # output layout == input layout: the step is a sharding fixpoint
+            assert "data" in str(leaf.sharding)
+    assert scattered > 0
+    # params come back replicated over data (next forward needs them whole)
+    for leaf in jax.tree_util.tree_leaves(out.params):
+        assert "data" not in str(leaf.sharding.spec), leaf.sharding
+
+
+def test_zero1_noop_on_single_data_axis():
+    mesh = make_mesh(data_parallel=1, model_parallel=1, devices=jax.devices()[:1])
+    x = {"w": jnp.zeros((8, 8))}
+    sh = opt_state_shardings(x, mesh)
+    assert all(
+        "data" not in str(s.spec) for s in jax.tree_util.tree_leaves(sh)
+    )

@@ -272,6 +272,18 @@ class BaseExperimentArgsModel(BaseModel):
             "coexist in a 16 GB-HBM chip"
         ),
     )
+    optimizer_state_sharding: Literal["replicated", "zero1"] = Field(
+        "replicated",
+        description=(
+            "Layout of the optimizer moments across the mesh's data axis. "
+            "'zero1' scatters every moment leaf over the data shards (ZeRO "
+            "stage 1: each shard owns 1/dp of the Adam state and updates "
+            "its slice; XLA inserts the reduce-scatter/all-gather pair), "
+            "freeing (dp-1)/dp of the moment HBM per chip. 'replicated' "
+            "keeps the single-chip layout. No effect when the data axis "
+            "is 1"
+        ),
+    )
     adam_mu_dtype: Literal["float32", "bfloat16"] = Field(
         "float32",
         description=(

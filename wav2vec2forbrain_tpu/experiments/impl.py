@@ -329,14 +329,30 @@ class B2TGruW2VExperimentBase:
             white_noise_sd=cfg.whiteNoiseSD,
             constant_offset_sd=cfg.constantOffsetSD,
         )
-        train_step, _ = build_steps(spec, tlabels, tx, step_cfg)
+        train_step, _ = build_steps(
+            spec,
+            tlabels,
+            tx,
+            step_cfg,
+            state_constraints=self._state_constraints(trainable_abs, opt_abs),
+        )
 
-        def with_shardings(tree):
+        def _attach(tree, shardings):
             return jax.tree_util.tree_map(
                 lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
                 tree,
-                param_shardings(tree, self.mesh),
+                shardings,
             )
+
+        def with_shardings(tree):
+            return _attach(tree, param_shardings(tree, self.mesh))
+
+        def with_opt_shardings(tree):
+            if not self._zero1_active():
+                return with_shardings(tree)
+            from wav2vec2forbrain_tpu.parallel.zero import opt_state_shardings
+
+            return _attach(tree, opt_state_shardings(tree, self.mesh))
 
         wire = getattr(cfg, "h2d_dtype", "float32")
         wire_dt = {
@@ -366,7 +382,7 @@ class B2TGruW2VExperimentBase:
         lowered = train_step.lower(
             with_shardings(trainable_abs),
             with_shardings(frozen_abs),
-            with_shardings(opt_abs),
+            with_opt_shardings(opt_abs),
             with_shardings(state_abs),
             batch,
             rng_abs,
@@ -602,6 +618,39 @@ class B2TGruW2VExperimentBase:
         shardings = param_shardings(tree, self.mesh)
         return jax.tree_util.tree_map(jax.device_put, tree, shardings)
 
+    def _zero1_active(self) -> bool:
+        return (
+            getattr(self.base_config, "optimizer_state_sharding", "replicated")
+            == "zero1"
+            and self.mesh is not None
+            and self.mesh.shape["data"] > 1
+        )
+
+    def shard_opt_state(self, tree):
+        """Place optimizer state on the mesh (replicated or ZeRO-1 layout).
+
+        Used at init and on train-state restore so a resumed run lands in
+        the same layout it checkpointed from."""
+        if not self._zero1_active():
+            return self.shard_params(tree)
+        from wav2vec2forbrain_tpu.parallel.zero import opt_state_shardings
+
+        return jax.tree_util.tree_map(
+            jax.device_put, tree, opt_state_shardings(tree, self.mesh)
+        )
+
+    def _state_constraints(self, trainable, opt_state):
+        """(trainable, opt_state) output-sharding pins for build_steps when
+        ZeRO-1 is on; None keeps the propagation-only default."""
+        if not self._zero1_active():
+            return None
+        from wav2vec2forbrain_tpu.parallel.zero import opt_state_shardings
+
+        return (
+            param_shardings(trainable, self.mesh),
+            opt_state_shardings(opt_state, self.mesh),
+        )
+
     def _build_optimizer_and_steps(self):
         cfg = self.base_config
         self.tx = make_optimizer(
@@ -615,14 +664,18 @@ class B2TGruW2VExperimentBase:
         # output shardings leave some leaves on empty-mesh/unannotated
         # shardings, which would make the train step's lowered module differ
         # from the scan_layers=auto cache probe's reconstruction
-        self.opt_state = self.shard_params(jax.jit(self.tx.init)(self.trainable))
+        self.opt_state = self.shard_opt_state(jax.jit(self.tx.init)(self.trainable))
         step_cfg = StepConfig(
             gradient_clipping=cfg.gradient_clipping,
             white_noise_sd=cfg.whiteNoiseSD,
             constant_offset_sd=cfg.constantOffsetSD,
         )
         self.train_step, self.eval_step = build_steps(
-            self.spec, self.trainable_labels, self.tx, step_cfg
+            self.spec,
+            self.trainable_labels,
+            self.tx,
+            step_cfg,
+            state_constraints=self._state_constraints(self.trainable, self.opt_state),
         )
         self.lr_schedules = self._make_lr_schedules()
 

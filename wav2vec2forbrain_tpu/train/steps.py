@@ -104,6 +104,7 @@ def build_steps(
     trainable_labels,
     tx: optax.GradientTransformation,
     step_cfg: StepConfig,
+    state_constraints=None,
 ):
     """Returns (train_step, eval_step), jitted.
 
@@ -113,6 +114,15 @@ def build_steps(
                (loss, logits, logit_lens)
     batch is the B2tBatch NamedTuple (arrays). Sharding is carried by the
     arguments themselves (device_put with NamedShardings); jit propagates it.
+
+    state_constraints: optional (trainable_shardings, opt_state_shardings)
+    pytrees of NamedShardings pinned onto the step's OUTPUT params/opt-state
+    (ZeRO-1, parallel/zero.py). Without the pin, XLA's propagation would let
+    the data-sharded Adam updates leak into the returned params, so step 2
+    would see differently-sharded inputs than step 1 and recompile; the
+    constraint makes the sharded-state layout a fixpoint of the train loop
+    (params all-gather back to their replicated-over-data layout, moments
+    stay scattered).
     """
 
     def _loss(
@@ -180,6 +190,10 @@ def build_steps(
         updates, new_opt_state = tx.update(g_t, opt_state, trainable)
         updates = scale_updates_by_lr(updates, trainable_labels, brain_lr, w2v_lr)
         new_trainable = optax.apply_updates(trainable, updates)
+        if state_constraints is not None:
+            t_sh, o_sh = state_constraints
+            new_trainable = jax.lax.with_sharding_constraint(new_trainable, t_sh)
+            new_opt_state = jax.lax.with_sharding_constraint(new_opt_state, o_sh)
         return TrainStepOut(
             new_trainable,
             new_opt_state,

@@ -454,7 +454,12 @@ class Trainer:
         new_leaves = [
             bundle["opt_leaves"][str(i)] for i in range(len(leaves))
         ]
-        self.opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        # re-place on the mesh in the experiment's configured layout
+        # (replicated, or scattered over data when ZeRO-1 is on) so a resumed
+        # run's step sees the same input shardings the fresh run compiled for
+        self.opt_state = self.experiment.shard_opt_state(
+            jax.tree_util.tree_unflatten(treedef, new_leaves)
+        )
         self.rng = jnp_asarray_rng(bundle["rng"])
         history = []
         hist_path = os.path.join(os.path.dirname(path), "history.json")
