@@ -1,0 +1,138 @@
+"""K-step scan-chunk parity tests (train/steps.py::build_multi_step).
+
+The multi-step epoch program must be a pure transport optimization: K steps
+dispatched as one lax.scan chunk produce the same parameters, RNG chain and
+per-step evaluator payloads as K sequential single-step dispatches (same
+gather contract as the device cache, same RNG threading). Tolerances are
+float-reduction-order level: the scan body and the standalone step are the
+same traced function, but XLA fuses them into different executables.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import wav2vec2forbrain_tpu.experiments.impl as impl
+from wav2vec2forbrain_tpu.train.device_cache import padded_index_row
+
+from test_train_e2e import base_config, tiny_yaml_config
+from test_train_e2e import tiny_encoders  # noqa: F401
+
+
+def _experiment(tmp_path, synthetic_splits_dir, **cfg_kwargs):
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    cfg = base_config(device_data_cache="on", **cfg_kwargs)
+    return impl.B2TGruAndW2VExperiment(cfg, yaml_cfg)
+
+
+def test_multi_step_matches_sequential(tmp_path, synthetic_splits_dir, tiny_encoders):  # noqa: F811
+    """One K=3 chunk == 3 sequential single steps: same params, same RNG,
+    same stacked loss/pred_ids/logit_lens."""
+    import jax
+
+    exp = _experiment(tmp_path, synthetic_splits_dir)
+    cache = exp.get_device_caches()["train"]
+    k, b = 3, exp.base_config.batch_size
+    data_axis = exp.mesh.shape["data"] if exp.mesh else 1
+    n = len(exp.dataloader_train.dataset)
+    rng_np = np.random.default_rng(0)
+    idx_rows, mask_rows = [], []
+    for _ in range(k):
+        idxs = rng_np.integers(0, n, size=(b,)).tolist()
+        idx, mask, _tb = padded_index_row(idxs, b, data_axis)
+        idx_rows.append(idx)
+        mask_rows.append(mask)
+    idx_mat, mask_mat = np.stack(idx_rows), np.stack(mask_rows)
+
+    # sequential reference (fresh state; donation consumes the originals, so
+    # capture host copies first)
+    t0 = jax.device_get(exp.trainable)
+    o0 = jax.device_get(exp.opt_state)
+    s0 = jax.device_get(exp.model_state)
+    r0 = jax.device_get(exp.step_rng)
+
+    t, o, s, r = exp.trainable, exp.opt_state, exp.model_state, exp.step_rng
+    seq_loss, seq_pred, seq_lens = [], [], []
+    for j in range(k):
+        batch = cache.device_batch(idx_mat[j], mask_mat[j])
+        out = exp.train_step(t, exp.frozen, o, s, batch, r, 1e-3, 1e-4)
+        t, o, s, r = out.params, out.opt_state, out.model_state, out.rng
+        seq_loss.append(float(out.loss))
+        seq_pred.append(np.asarray(out.pred_ids))
+        seq_lens.append(np.asarray(out.logit_lens))
+    seq_params = jax.device_get(t)
+    seq_rng = np.asarray(r)
+
+    # multi-step chunk from the identical initial state
+    multi = exp.get_multi_step()
+    mo = multi(
+        jax.device_put(t0),
+        exp.frozen,
+        jax.device_put(o0),
+        jax.device_put(s0),
+        cache._dev,
+        idx_mat,
+        mask_mat,
+        jax.device_put(r0),
+        1e-3,
+        1e-4,
+    )
+
+    np.testing.assert_array_equal(np.asarray(mo.rng), seq_rng)
+    np.testing.assert_allclose(
+        np.asarray(mo.loss), np.asarray(seq_loss), rtol=2e-6, atol=1e-7
+    )
+    for j in range(k):
+        np.testing.assert_array_equal(np.asarray(mo.pred_ids)[j], seq_pred[j])
+        np.testing.assert_array_equal(np.asarray(mo.logit_lens)[j], seq_lens[j])
+    flat_a = jax.tree_util.tree_leaves(jax.device_get(mo.params))
+    flat_b = jax.tree_util.tree_leaves(seq_params)
+    # scan-body vs standalone-step executables fuse differently, and Adam's
+    # eps-division amplifies reduction-order noise on near-zero second
+    # moments: observed divergence is ~4/393k elements at <=1.1e-5 abs after
+    # 3 steps. atol=5e-5 is ~5% of one step's max update at lr 1e-3 — far
+    # below anything training-relevant, far above the observed noise.
+    for a, bb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, bb, rtol=2e-3, atol=5e-5)
+
+
+def test_trainer_chunked_equals_single_step(
+    tmp_path, synthetic_splits_dir, tiny_encoders  # noqa: F811
+):
+    """Full e2e: --multi_step_chunk=2 reproduces the single-step cached run's
+    losses (train AND val epochs use the chunked programs; the synthetic
+    train split is 9 samples / batch 3 -> 3 batches = 1 chunk + 1 tail)."""
+    histories = []
+    for chunk in ("off", 2):
+        yaml_cfg = tiny_yaml_config(tmp_path / str(chunk), synthetic_splits_dir)
+        cfg = base_config(
+            device_data_cache="on", multi_step_chunk=chunk, epochs=2
+        )
+        exp = impl.B2TGruAndW2VExperiment(cfg, yaml_cfg)
+        exp.run()
+        with open(os.path.join(exp.results_dir, "history.json")) as f:
+            histories.append(json.load(f))
+    off, on = histories
+    for e_off, e_on in zip(off["epochs"], on["epochs"]):
+        for split in ("train", "val"):
+            assert e_off[split]["average"]["loss"] == pytest.approx(
+                e_on[split]["average"]["loss"], rel=2e-5
+            ), split
+    assert off["test"]["average"]["loss"] == pytest.approx(
+        on["test"]["average"]["loss"], rel=2e-5
+    )
+
+
+def test_auto_resolution(tmp_path, synthetic_splits_dir, tiny_encoders):  # noqa: F811
+    """'auto' stays off on CPU (dispatch is cheap there); an explicit integer
+    forces the chunk size; 'off' is 0."""
+    exp = _experiment(tmp_path, synthetic_splits_dir)
+    assert exp.resolve_multi_step_chunk() == 0  # CPU: auto -> off
+    exp.base_config = exp.base_config.model_copy(update={"multi_step_chunk": 5})
+    assert exp.resolve_multi_step_chunk() == 5
+    exp.base_config = exp.base_config.model_copy(
+        update={"multi_step_chunk": "off"}
+    )
+    assert exp.resolve_multi_step_chunk() == 0

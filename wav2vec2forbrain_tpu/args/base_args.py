@@ -263,6 +263,21 @@ class BaseExperimentArgsModel(BaseModel):
             "(see train/device_cache.py)"
         ),
     )
+    multi_step_chunk: Union[int, Literal["auto", "off"]] = Field(
+        "auto",
+        description=(
+            "Train K optimizer steps per dispatch: a lax.scan whose body "
+            "gathers its batch from the device-resident dataset cache and "
+            "runs the train step, so the host pays one dispatch + one "
+            "stacked-output fetch per K steps instead of per step (each is "
+            "an RTT on remote-attached TPUs). Requires the train split to "
+            "be cache-resident; numerics are identical to K sequential "
+            "steps (same RNG chain and gather contract). 'auto' picks 8 on "
+            "accelerators when the cache is resident, 'off' elsewhere; an "
+            "integer forces that chunk size. Epoch tails shorter than K "
+            "run on the single-step program"
+        ),
+    )
     device_data_cache_max_bytes: int = Field(
         1_500_000_000,
         description=(

@@ -651,6 +651,14 @@ class B2TGruW2VExperimentBase:
             opt_state_shardings(opt_state, self.mesh),
         )
 
+    def _step_cfg(self) -> StepConfig:
+        cfg = self.base_config
+        return StepConfig(
+            gradient_clipping=cfg.gradient_clipping,
+            white_noise_sd=cfg.whiteNoiseSD,
+            constant_offset_sd=cfg.constantOffsetSD,
+        )
+
     def _build_optimizer_and_steps(self):
         cfg = self.base_config
         self.tx = make_optimizer(
@@ -665,16 +673,11 @@ class B2TGruW2VExperimentBase:
         # shardings, which would make the train step's lowered module differ
         # from the scan_layers=auto cache probe's reconstruction
         self.opt_state = self.shard_opt_state(jax.jit(self.tx.init)(self.trainable))
-        step_cfg = StepConfig(
-            gradient_clipping=cfg.gradient_clipping,
-            white_noise_sd=cfg.whiteNoiseSD,
-            constant_offset_sd=cfg.constantOffsetSD,
-        )
         self.train_step, self.eval_step = build_steps(
             self.spec,
             self.trainable_labels,
             self.tx,
-            step_cfg,
+            self._step_cfg(),
             state_constraints=self._state_constraints(self.trainable, self.opt_state),
         )
         self.lr_schedules = self._make_lr_schedules()
@@ -711,6 +714,53 @@ class B2TGruW2VExperimentBase:
             ),
             cfg.adjust_global_lr_to_w2v_postwarmup_lr == True,
         )
+
+    # --- multi-step epoch chunks ---------------------------------------------
+
+    def resolve_multi_step_chunk(self) -> int:
+        """Chunk size K for the multi-step epoch program (0 = off).
+
+        'auto' enables K=8 on accelerators (where each dispatch/fetch is an
+        RTT worth amortizing — measured 70-85 ms through the axon tunnel,
+        tools/profile_e2e.py) and stays off elsewhere; the Trainer
+        additionally requires the split's device cache to be resident."""
+        v = getattr(self.base_config, "multi_step_chunk", "off")
+        if v == "off":
+            return 0
+        if v == "auto":
+            return 8 if jax.devices()[0].platform in ("tpu", "gpu") else 0
+        return max(0, int(v))
+
+    def get_multi_step(self):
+        """The K-step train chunk program (lazy: compiled only when the
+        Trainer actually chunks an epoch). K itself is carried by the index
+        matrix's shape, so one builder serves any chunk size."""
+        if not hasattr(self, "_multi_step"):
+            from wav2vec2forbrain_tpu.train.steps import build_multi_step
+
+            self._multi_step = build_multi_step(
+                self.spec,
+                self.trainable_labels,
+                self.tx,
+                self._step_cfg(),
+                state_constraints=self._state_constraints(
+                    self.trainable, self.opt_state
+                ),
+            )
+        return self._multi_step
+
+    def get_multi_eval(self):
+        """The K-batch eval chunk program (no logits; lazy)."""
+        if not hasattr(self, "_multi_eval"):
+            from wav2vec2forbrain_tpu.train.steps import build_multi_eval
+
+            self._multi_eval = build_multi_eval(
+                self.spec,
+                self.trainable_labels,
+                self.tx,
+                self._step_cfg(),
+            )
+        return self._multi_eval
 
     # --- device-resident dataset cache --------------------------------------
 

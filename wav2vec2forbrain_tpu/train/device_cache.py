@@ -48,6 +48,22 @@ def _wire_np_dtype(wire: str):
     return np.float32
 
 
+def padded_index_row(idxs: List[int], batch_size: int, data_axis: int = 1):
+    """(idx_row, mask_row, true_b): batch indices padded up to the full
+    configured batch size rounded to the data axis, padding rows duplicating
+    the last index with mask 0 — the exact padding contract of
+    Trainer._put, as an index vector."""
+    true_b = len(idxs)
+    target = max(batch_size, true_b)
+    full = ((target + data_axis - 1) // data_axis) * data_axis
+    pad = full - true_b
+    idx = np.asarray(list(idxs) + [idxs[-1]] * pad, np.int32)
+    mask = np.concatenate(
+        [np.ones((true_b,), np.float32), np.zeros((pad,), np.float32)]
+    )
+    return idx, mask, true_b
+
+
 class DeviceDatasetCache:
     """One split's samples as device arrays + a jitted batch gather."""
 
@@ -218,14 +234,7 @@ class DeviceDatasetCache:
         rows padded up to the full batch size (masked row -1 duplicates —
         the exact padding contract of Trainer._put)."""
         for idxs in loader.iter_index_batches():
-            true_b = len(idxs)
-            target = max(batch_size, true_b)
-            full = ((target + data_axis - 1) // data_axis) * data_axis
-            pad = full - true_b
-            idx = np.asarray(list(idxs) + [idxs[-1]] * pad, np.int32)
-            mask = np.concatenate(
-                [np.ones((true_b,), np.float32), np.zeros((pad,), np.float32)]
-            )
+            idx, mask, true_b = padded_index_row(idxs, batch_size, data_axis)
             yield self.device_batch(idx, mask), true_b, self.host_batch(idxs)
 
 

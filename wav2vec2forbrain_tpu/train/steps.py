@@ -99,14 +99,21 @@ class TrainStepOut(NamedTuple):
     metrics: Any = {}
 
 
-def build_steps(
+def build_step_fns(
     spec: ModelSpec,
     trainable_labels,
     tx: optax.GradientTransformation,
     step_cfg: StepConfig,
     state_constraints=None,
 ):
-    """Returns (train_step, eval_step), jitted.
+    """Returns (train_step, eval_step) as RAW (unjitted) functions.
+
+    build_steps jits these for the per-batch path; the multi-step epoch
+    program (build_multi_step) embeds the train fn as a lax.scan body so one
+    dispatch covers K optimizer steps — on remote-attached TPUs each
+    dispatch + blocking fetch costs an RTT (~70-85 ms measured through the
+    axon tunnel, tools/profile_e2e.py), which a per-batch loop pays every
+    step.
 
     train_step(trainable, frozen, opt_state, model_state, batch, rng,
                brain_lr, w2v_lr) -> TrainStepOut
@@ -225,10 +232,153 @@ def build_steps(
         pred_ids = jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
         return loss, out["logits"], out["logit_lens"], pred_ids, out["metrics"]
 
+    return train_step, eval_step
+
+
+def build_steps(
+    spec: ModelSpec,
+    trainable_labels,
+    tx: optax.GradientTransformation,
+    step_cfg: StepConfig,
+    state_constraints=None,
+):
+    """(train_step, eval_step), jitted — the per-batch step API."""
+    train_step, eval_step = build_step_fns(
+        spec, trainable_labels, tx, step_cfg, state_constraints
+    )
     return (
         jax.jit(train_step, donate_argnums=(0, 2, 3)),
         jax.jit(eval_step),
     )
+
+
+class MultiStepOut(NamedTuple):
+    """Stacked per-step outputs of a K-step scan chunk (leading axis K)."""
+
+    params: Any
+    opt_state: Any
+    model_state: Any
+    rng: jax.Array
+    loss: jnp.ndarray  # (K,)
+    pred_ids: jnp.ndarray  # (K, B, T')
+    logit_lens: jnp.ndarray  # (K, B)
+    metrics: Any  # dict of (K,) scalars (or {})
+
+
+def build_multi_step(
+    spec: ModelSpec,
+    trainable_labels,
+    tx: optax.GradientTransformation,
+    step_cfg: StepConfig,
+    state_constraints=None,
+):
+    """K-step epoch chunk: lax.scan over device-cache gathers + train steps.
+
+    multi_step(trainable, frozen, opt_state, model_state, cache_arrays,
+               idx_mat (K, B) int32, mask_mat (K, B) f32, rng,
+               brain_lr, w2v_lr) -> MultiStepOut
+
+    cache_arrays is the DeviceDatasetCache device tuple (feats, targets,
+    day_idxs, input_lens, target_lens); each scan iteration assembles its
+    batch ON DEVICE from the resident dataset, so the host's only per-chunk
+    work is one dispatch (tiny index matrices H2D) and one stacked-output
+    fetch — K optimizer steps per RTT instead of one. Numerics are identical
+    to K sequential single steps (same RNG chain, same gather contract).
+    K is static per compiled program (ragged epoch tails run on the
+    single-step program).
+    """
+    from wav2vec2forbrain_tpu.data.batch import B2tBatch
+
+    train_step, _ = build_step_fns(
+        spec, trainable_labels, tx, step_cfg, state_constraints
+    )
+
+    def multi_step(
+        trainable,
+        frozen,
+        opt_state,
+        model_state,
+        cache_arrays,
+        idx_mat,
+        mask_mat,
+        rng,
+        brain_lr,
+        w2v_lr,
+    ) -> MultiStepOut:
+        feats, targets, day_idxs, input_lens, target_lens = cache_arrays
+
+        def body(carry, xs):
+            t, o, s, r = carry
+            idx, mask = xs
+            batch = B2tBatch(
+                input=feats[idx],
+                target=targets[idx],
+                day_idxs=day_idxs[idx],
+                input_lens=input_lens[idx],
+                target_lens=target_lens[idx],
+                sample_mask=mask,
+            )
+            out = train_step(t, frozen, o, s, batch, r, brain_lr, w2v_lr)
+            return (
+                (out.params, out.opt_state, out.model_state, out.rng),
+                (out.loss, out.pred_ids, out.logit_lens, out.metrics),
+            )
+
+        (t, o, s, r), (loss, pred_ids, logit_lens, metrics) = jax.lax.scan(
+            body,
+            (trainable, opt_state, model_state, rng),
+            (idx_mat, mask_mat),
+        )
+        return MultiStepOut(t, o, s, r, loss, pred_ids, logit_lens, metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0, 2, 3))
+
+
+def build_multi_eval(
+    spec: ModelSpec,
+    trainable_labels,
+    tx: optax.GradientTransformation,
+    step_cfg: StepConfig,
+    state_constraints=None,
+):
+    """K-batch eval chunk: scan over device-cache gathers + eval steps.
+
+    multi_eval(trainable, frozen, model_state, cache_arrays, idx_mat,
+               mask_mat) -> (loss (K,), logit_lens (K, B), pred_ids
+               (K, B, T'), metrics dict of (K,))
+
+    Logits are NOT returned (a (K, B, T', V) stack would defeat the tiny-
+    fetch design); epochs that need full logits (LM decode, prediction
+    dumps) use the single-step eval path.
+    """
+    from wav2vec2forbrain_tpu.data.batch import B2tBatch
+
+    _, eval_step = build_step_fns(
+        spec, trainable_labels, tx, step_cfg, state_constraints
+    )
+
+    def multi_eval(trainable, frozen, model_state, cache_arrays, idx_mat, mask_mat):
+        feats, targets, day_idxs, input_lens, target_lens = cache_arrays
+
+        def body(carry, xs):
+            idx, mask = xs
+            batch = B2tBatch(
+                input=feats[idx],
+                target=targets[idx],
+                day_idxs=day_idxs[idx],
+                input_lens=input_lens[idx],
+                target_lens=target_lens[idx],
+                sample_mask=mask,
+            )
+            loss, _logits, logit_lens, pred_ids, metrics = eval_step(
+                trainable, frozen, model_state, batch
+            )
+            return carry, (loss, logit_lens, pred_ids, metrics)
+
+        _, ys = jax.lax.scan(body, (), (idx_mat, mask_mat))
+        return ys
+
+    return jax.jit(multi_eval)
 
 
 def clip_by_global_norm_pair(g_t, g_f, max_norm: float):

@@ -215,6 +215,14 @@ class Trainer:
 
         from wav2vec2forbrain_tpu.util.profiling import StepTimer
 
+        # K-step scan chunks (train/steps.py::build_multi_step): active for
+        # a split when its device cache is resident and K >= 2
+        self._multi_step_k = (
+            experiment.resolve_multi_step_chunk()
+            if hasattr(experiment, "resolve_multi_step_chunk")
+            else 0
+        )
+
         self.samples_seen = 0
         self.train_step_time = 0.0
         self.step_timer = StepTimer()
@@ -270,7 +278,20 @@ class Trainer:
         """Lag-1 pipelined epoch: step i+1 is enqueued on the device before
         step i's (tiny) outputs are fetched and decoded on the host, so the
         per-batch D2H + WER decode — the reference's biggest per-step hazard
-        (SURVEY.md §3.2) — overlaps device compute instead of serializing."""
+        (SURVEY.md §3.2) — overlaps device compute instead of serializing.
+
+        When the split's dataset is device-cache-resident and
+        --multi_step_chunk resolves to K >= 2, the epoch instead dispatches
+        K-step lax.scan chunks (one dispatch + one stacked fetch per K
+        optimizer steps): on remote-attached TPUs every dispatch and every
+        fetch is an RTT (~70-85 ms measured through the axon tunnel,
+        tools/profile_e2e.py), so per-step host interaction caps throughput
+        regardless of pipelining — amortizing it K ways is the fix."""
+        cache = self._cache_by_loader.get(id(data_loader))
+        if self._multi_step_k >= 2 and cache is not None:
+            return self._train_epoch_chunked(
+                data_loader, epoch, cache, self._multi_step_k
+            )
         evaluator = self.experiment.create_evaluator("train")
         brain_lr = float(self.lr_schedules.brain(epoch))
         w2v_lr = float(self.lr_schedules.w2v(epoch))
@@ -320,13 +341,158 @@ class Trainer:
             epoch_samples += true_b
             # start the D2H of this step's tiny outputs now, so the lag-1
             # fetch below never pays transfer latency serially (it matters
-            # a lot on remote-attached TPUs where each fetch is an RTT)
-            _copy_to_host_async(out.loss, out.pred_ids)
+            # a lot on remote-attached TPUs where each fetch is an RTT).
+            # EVERY host-read output must be listed: a plain np.asarray on a
+            # not-yet-copied array acts as a device fence through the tunnel
+            # (r3 shipped logit_lens unlisted — measured 127 ms/step,
+            # tools/profile_e2e.py)
+            _copy_to_host_async(
+                out.loss,
+                out.pred_ids,
+                out.logit_lens,
+                *jax.tree_util.tree_leaves(out.metrics),
+            )
             if pending is not None:
                 process(*pending)
             pending = (out, host_batch, true_b, i)
         if pending is not None:
             process(*pending)
+        dt_epoch = time.perf_counter() - t_epoch
+        self.train_step_time += dt_epoch
+        if epoch_samples:
+            self.step_timer.add(dt_epoch, epoch_samples, steps=n)
+        results = evaluator.evaluate()
+        evaluator.clean_up()
+        return results
+
+    def _train_epoch_chunked(
+        self, data_loader, epoch: int, cache, k: int
+    ) -> SingleEpochHistory:
+        """K-step-per-dispatch epoch over the device-resident dataset.
+
+        The epoch's index batches (same loader RNG stream as the streaming
+        path — batch composition is IDENTICAL) are grouped into (K, B) index/
+        mask matrices; each chunk is one jitted lax.scan dispatch that
+        gathers every batch on device and returns the K steps' evaluator
+        payloads stacked. Lag-1 pipelining applies at chunk granularity: the
+        host decodes chunk c's K batches while chunk c+1 runs. The ragged
+        epoch tail (< K batches) runs on the single-step program."""
+        from wav2vec2forbrain_tpu.train.device_cache import padded_index_row
+
+        evaluator = self.experiment.create_evaluator("train")
+        brain_lr = float(self.lr_schedules.brain(epoch))
+        w2v_lr = float(self.lr_schedules.w2v(epoch))
+        multi_step = self.experiment.get_multi_step()
+        n = len(data_loader)
+        epoch_samples = 0
+        t_epoch = time.perf_counter()
+
+        rows = [
+            padded_index_row(idxs, self.config.batch_size, self.data_axis)
+            + (idxs,)
+            for idxs in data_loader.iter_index_batches()
+        ]
+
+        def track(loss, pred_ids, logit_lens, metrics, idxs, true_b, i):
+            preds = {
+                "loss": float(loss),
+                "pred_ids": np.asarray(pred_ids)[:true_b],
+                "logit_lens": np.asarray(logit_lens)[:true_b],
+            }
+            if metrics:
+                preds["metrics"] = {k_: float(v) for k_, v in metrics.items()}
+            evaluator.track_batch(preds, cache.host_batch(idxs))
+            if i % self.config.log_every_n_batches == (
+                self.config.log_every_n_batches - 1
+            ):
+                self._log_intermediate(i, n, evaluator)
+
+        pending = None  # (MultiStepOut, chunk rows, first batch index)
+        n_chunks = len(rows) // k
+
+        def process_chunk(mo, chunk, i0):
+            loss = np.asarray(mo.loss)
+            pred_ids = np.asarray(mo.pred_ids)
+            logit_lens = np.asarray(mo.logit_lens)
+            metrics = {k_: np.asarray(v) for k_, v in mo.metrics.items()}
+            for j, (_idx, _mask, true_b, idxs) in enumerate(chunk):
+                track(
+                    loss[j],
+                    pred_ids[j],
+                    logit_lens[j],
+                    {k_: v[j] for k_, v in metrics.items()},
+                    idxs,
+                    true_b,
+                    i0 + j,
+                )
+
+        for c in range(n_chunks):
+            chunk = rows[c * k : (c + 1) * k]
+            idx_mat = np.stack([r[0] for r in chunk])
+            mask_mat = np.stack([r[1] for r in chunk])
+            mo = multi_step(
+                self.trainable,
+                self.frozen,
+                self.opt_state,
+                self.model_state,
+                cache._dev,
+                idx_mat,
+                mask_mat,
+                self.rng,
+                brain_lr,
+                w2v_lr,
+            )
+            self.trainable = mo.params
+            self.opt_state = mo.opt_state
+            self.model_state = mo.model_state
+            self.rng = mo.rng
+            chunk_samples = sum(r[2] for r in chunk)
+            self.samples_seen += chunk_samples
+            epoch_samples += chunk_samples
+            _copy_to_host_async(
+                mo.loss,
+                mo.pred_ids,
+                mo.logit_lens,
+                *jax.tree_util.tree_leaves(mo.metrics),
+            )
+            if pending is not None:
+                process_chunk(*pending)
+            pending = (mo, chunk, c * k)
+        if pending is not None:
+            process_chunk(*pending)
+
+        # ragged tail: per-batch single steps (same program as the
+        # non-chunked path; an optimizer step must never run on an
+        # all-masked padding batch, so the tail is NOT padded to K)
+        for j, (idx, mask, true_b, idxs) in enumerate(rows[n_chunks * k :]):
+            out = self.train_step(
+                self.trainable,
+                self.frozen,
+                self.opt_state,
+                self.model_state,
+                cache.device_batch(idx, mask),
+                self.rng,
+                brain_lr,
+                w2v_lr,
+            )
+            self.trainable = out.params
+            self.opt_state = out.opt_state
+            self.model_state = out.model_state
+            self.rng = out.rng
+            self.samples_seen += true_b
+            epoch_samples += true_b
+            track(
+                out.loss,
+                out.pred_ids,
+                out.logit_lens,
+                {k_: float(v) for k_, v in out.metrics.items()}
+                if out.metrics
+                else {},
+                idxs,
+                true_b,
+                n_chunks * k + j,
+            )
+
         dt_epoch = time.perf_counter() - t_epoch
         self.train_step_time += dt_epoch
         if epoch_samples:
@@ -346,6 +512,11 @@ class Trainer:
         need_logits = (
             with_logits or getattr(evaluator, "lm_decoder", None) is not None
         )
+        cache = self._cache_by_loader.get(id(dataloader))
+        if self._multi_step_k >= 2 and cache is not None and not need_logits:
+            return self._evaluate_epoch_chunked(
+                dataloader, evaluator, cache, self._multi_step_k
+            )
         pending = None
 
         def process(outs, host_batch, true_b, i):
@@ -372,14 +543,100 @@ class Trainer:
             outs = self.eval_step(
                 self.trainable, self.frozen, self.model_state, batch
             )
+            loss_o, logits_o, lens_o, pred_o, metrics_o = outs
             _copy_to_host_async(
-                *(outs if need_logits else (outs[0], outs[3]))
+                loss_o,
+                lens_o,
+                pred_o,
+                *jax.tree_util.tree_leaves(metrics_o),
+                *((logits_o,) if need_logits else ()),
             )
             if pending is not None:
                 process(*pending)
             pending = (outs, host_batch, true_b, i)
         if pending is not None:
             process(*pending)
+        results = evaluator.evaluate()
+        evaluator.clean_up()
+        return results
+
+    def _evaluate_epoch_chunked(
+        self, dataloader, evaluator, cache, k: int
+    ) -> SingleEpochHistory:
+        """K-batch-per-dispatch eval epoch (no logits fetched — epochs that
+        need full logits, e.g. LM decode, stay on the single-step path).
+        Unlike the train chunker, the tail CAN be padded with masked
+        duplicate batches: eval has no state update, and masked rows are
+        excluded from loss/metrics, so the duplicates are simply dropped on
+        the host (their outputs are never tracked)."""
+        from wav2vec2forbrain_tpu.train.device_cache import padded_index_row
+
+        multi_eval = self.experiment.get_multi_eval()
+        n = len(dataloader)
+        rows = [
+            padded_index_row(idxs, self.config.batch_size, self.data_axis)
+            + (idxs,)
+            for idxs in dataloader.iter_index_batches()
+        ]
+        # pad the tail chunk with duplicates of the last batch so every
+        # dispatch reuses the ONE compiled (K, B) program
+        n_real = len(rows)
+        while len(rows) % k:
+            rows.append(rows[-1])
+
+        def track(loss, pred_ids, logit_lens, metrics, idxs, true_b, i):
+            preds = {
+                "loss": float(loss),
+                "pred_ids": np.asarray(pred_ids)[:true_b],
+                "logit_lens": np.asarray(logit_lens)[:true_b],
+            }
+            if metrics:
+                preds["metrics"] = {k_: float(v) for k_, v in metrics.items()}
+            evaluator.track_batch(preds, cache.host_batch(idxs))
+            if i % self.config.log_every_n_batches == (
+                self.config.log_every_n_batches - 1
+            ):
+                self._log_intermediate(i, n, evaluator)
+
+        pending = None
+
+        def process_chunk(ys, chunk, i0):
+            loss, logit_lens, pred_ids, metrics = ys
+            loss = np.asarray(loss)
+            logit_lens = np.asarray(logit_lens)
+            pred_ids = np.asarray(pred_ids)
+            metrics = {k_: np.asarray(v) for k_, v in metrics.items()}
+            for j, (_idx, _mask, true_b, idxs) in enumerate(chunk):
+                if i0 + j >= n_real:  # padded duplicate batch
+                    break
+                track(
+                    loss[j],
+                    pred_ids[j],
+                    logit_lens[j],
+                    {k_: v[j] for k_, v in metrics.items()},
+                    idxs,
+                    true_b,
+                    i0 + j,
+                )
+
+        for c in range(len(rows) // k):
+            chunk = rows[c * k : (c + 1) * k]
+            idx_mat = np.stack([r[0] for r in chunk])
+            mask_mat = np.stack([r[1] for r in chunk])
+            ys = multi_eval(
+                self.trainable,
+                self.frozen,
+                self.model_state,
+                cache._dev,
+                idx_mat,
+                mask_mat,
+            )
+            _copy_to_host_async(*jax.tree_util.tree_leaves(ys))
+            if pending is not None:
+                process_chunk(*pending)
+            pending = (ys, chunk, c * k)
+        if pending is not None:
+            process_chunk(*pending)
         results = evaluator.evaluate()
         evaluator.clean_up()
         return results
