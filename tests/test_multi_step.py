@@ -28,8 +28,9 @@ def _experiment(tmp_path, synthetic_splits_dir, **cfg_kwargs):
 
 
 def test_multi_step_matches_sequential(tmp_path, synthetic_splits_dir, tiny_encoders):  # noqa: F811
-    """One K=3 chunk == 3 sequential single steps: same params, same RNG,
-    same stacked loss/pred_ids/logit_lens."""
+    """One K=4 chunk whose 4th slot is tail padding (valid=False) == 3
+    sequential single steps: same params, same RNG, same stacked
+    loss/pred_ids/logit_lens — the skipped slot must not touch the carry."""
     import jax
 
     exp = _experiment(tmp_path, synthetic_splits_dir)
@@ -45,6 +46,10 @@ def test_multi_step_matches_sequential(tmp_path, synthetic_splits_dir, tiny_enco
         idx_rows.append(idx)
         mask_rows.append(mask)
     idx_mat, mask_mat = np.stack(idx_rows), np.stack(mask_rows)
+    # pad a 4th slot (duplicate of the last row) flagged invalid
+    idx_mat = np.concatenate([idx_mat, idx_mat[-1:]])
+    mask_mat = np.concatenate([mask_mat, mask_mat[-1:]])
+    valid = np.asarray([True] * k + [False])
 
     # sequential reference (fresh state; donation consumes the originals, so
     # capture host copies first)
@@ -75,15 +80,18 @@ def test_multi_step_matches_sequential(tmp_path, synthetic_splits_dir, tiny_enco
         cache._dev,
         idx_mat,
         mask_mat,
+        valid,
         jax.device_put(r0),
         1e-3,
         1e-4,
+        cache._t_full,
     )
 
     np.testing.assert_array_equal(np.asarray(mo.rng), seq_rng)
     np.testing.assert_allclose(
-        np.asarray(mo.loss), np.asarray(seq_loss), rtol=2e-6, atol=1e-7
+        np.asarray(mo.loss)[:k], np.asarray(seq_loss), rtol=2e-6, atol=1e-7
     )
+    assert float(np.asarray(mo.loss)[k]) == 0.0  # skipped slot: zero output
     for j in range(k):
         np.testing.assert_array_equal(np.asarray(mo.pred_ids)[j], seq_pred[j])
         np.testing.assert_array_equal(np.asarray(mo.logit_lens)[j], seq_lens[j])

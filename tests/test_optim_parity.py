@@ -163,3 +163,58 @@ def test_adam_mu_dtype_bfloat16():
         jax.tree_util.tree_leaves(u32), jax.tree_util.tree_leaves(ubf)
     ):
         assert jnp.max(jnp.abs(a - b)) < 2e-2
+
+
+def test_adam_nu_dtype_bfloat16():
+    """--adam_nu_dtype=bfloat16 stores the second moment in bf16 (computed
+    in f32 each step) and tracks the f32 optimizer's updates to bf16
+    quantization tolerance; the f32 default goes through stock
+    optax.scale_by_adam (exact-parity path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec2forbrain_tpu.train.optim import make_optimizer
+
+    labels = {"a": "brain", "b": "w2v"}
+    params = {
+        "a": jnp.linspace(-1.0, 1.0, 32).reshape(4, 8),
+        "b": jnp.linspace(0.5, 2.0, 16).reshape(2, 8),
+    }
+    grads = jax.tree_util.tree_map(lambda p: 0.1 * p + 0.01, params)
+
+    tx32 = make_optimizer(labels)
+    txbf = make_optimizer(labels, nu_dtype=jnp.bfloat16)
+    s32, sbf = tx32.init(params), txbf.init(params)
+    n_bf16 = sum(
+        getattr(leaf, "dtype", None) == jnp.bfloat16
+        for leaf in jax.tree_util.tree_leaves(sbf)
+    )
+    assert n_bf16 == 2, "expected exactly the two groups' nu trees in bf16"
+    for _ in range(5):
+        u32, s32 = tx32.update(grads, s32, params)
+        ubf, sbf = txbf.update(grads, sbf, params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(u32), jax.tree_util.tree_leaves(ubf)
+    ):
+        # nu quantization perturbs the denominator by <=2^-9 relative
+        assert jnp.max(jnp.abs(a - b) / (jnp.abs(a) + 1e-8)) < 6e-3
+
+
+def test_adam_nu_dtype_f32_is_stock_optax():
+    """nu_dtype=None must produce BITWISE-identical updates to stock
+    optax.scale_by_adam (the torch-parity golden path is untouched)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from wav2vec2forbrain_tpu.train.optim import scale_by_adam_nu_dtype
+
+    params = {"w": jnp.linspace(-2.0, 2.0, 64)}
+    grads = {"w": jnp.sin(jnp.linspace(0.0, 3.0, 64))}
+    ours = scale_by_adam_nu_dtype(eps=1e-8)
+    stock = optax.scale_by_adam(eps=1e-8)
+    so, ss = ours.init(params), stock.init(params)
+    for _ in range(3):
+        uo, so = ours.update(grads, so, params)
+        us, ss = stock.update(grads, ss, params)
+    assert jnp.array_equal(uo["w"], us["w"])

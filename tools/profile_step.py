@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--mu-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="Adam first-moment storage dtype (--adam_mu_dtype)")
+    ap.add_argument("--nu-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="Adam second-moment storage dtype (--adam_nu_dtype)")
     args = ap.parse_args()
 
     from wav2vec2forbrain_tpu.util.tpu_setup import configure_jax
@@ -124,6 +127,7 @@ def main():
     tx = make_optimizer(
         tlabels,
         mu_dtype=jnp.bfloat16 if args.mu_dtype == "bfloat16" else None,
+        nu_dtype=jnp.bfloat16 if args.nu_dtype == "bfloat16" else None,
     )
     opt_state = jax.jit(tx.init)(trainable)
     train_step, _ = build_steps(spec, tlabels, tx, StepConfig(None, 0.0, 0.0))

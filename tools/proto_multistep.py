@@ -102,14 +102,14 @@ def main():
     idx, mask = chunk_inputs(k)
     print(f"compiling multi_step k={k} ...", flush=True)
     t0 = time.perf_counter()
-    mo = multi(t_, f_, o_, s_, cache._dev, idx, mask, r_, 1e-4, 1e-5)
+    mo = multi(t_, f_, o_, s_, cache._dev, idx, mask, np.ones((k,), bool), r_, 1e-4, 1e-5, cache._t_full)
     t_, o_, s_, r_ = mo.params, mo.opt_state, mo.model_state, mo.rng
     float(mo.loss[-1])
     print(f"multi compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         idx, mask = chunk_inputs(k)
-        mo = multi(t_, f_, o_, s_, cache._dev, idx, mask, r_, 1e-4, 1e-5)
+        mo = multi(t_, f_, o_, s_, cache._dev, idx, mask, np.ones((k,), bool), r_, 1e-4, 1e-5, cache._t_full)
         t_, o_, s_, r_ = mo.params, mo.opt_state, mo.model_state, mo.rng
         # the evaluator payload: stacked loss/pred_ids/logit_lens, one fetch
         np.asarray(mo.loss)

@@ -272,10 +272,43 @@ class BaseExperimentArgsModel(BaseModel):
             "stacked-output fetch per K steps instead of per step (each is "
             "an RTT on remote-attached TPUs). Requires the train split to "
             "be cache-resident; numerics are identical to K sequential "
-            "steps (same RNG chain and gather contract). 'auto' picks 8 on "
+            "steps (same RNG chain and gather contract). 'auto' picks 32 on "
             "accelerators when the cache is resident, 'off' elsewhere; an "
-            "integer forces that chunk size. Epoch tails shorter than K "
-            "run on the single-step program"
+            "integer forces that chunk size. Epoch tails shorter than K are "
+            "padded with valid=False slots the scan skips on device (no "
+            "extra compute, no state change)"
+        ),
+    )
+    length_bucket_order: Literal["preserve", "grouped"] = Field(
+        "preserve",
+        description=(
+            "Within-epoch TRAIN batch order when length buckets are on: "
+            "'preserve' keeps the loader's shuffle order (streaming-"
+            "identical numerics; interleaved widths cost one dispatch per "
+            "same-width run), 'grouped' stably reorders batches by bucket "
+            "width so each width forms one chunkable run (fewest "
+            "dispatches; batch composition and per-batch numerics are "
+            "unchanged but the optimizer visits batches in a different "
+            "order — standard bucketed-training semantics). Eval epochs "
+            "always group: their averaged results are order-invariant"
+        ),
+    )
+    length_buckets: Union[int, Literal["off", "exact"]] = Field(
+        "off",
+        description=(
+            "Length buckets for device-cached batches: each batch is "
+            "gathered at the smallest bucket width covering its longest "
+            "sample, instead of the dataset-wide max width every batch pays "
+            "in single-bucket mode. An integer N derives up to N widths "
+            "from the cached splits' length quantiles (rounded to "
+            "pad_to_multiple); 'exact' uses every pad_to_multiple width — "
+            "each batch then runs at exactly the streaming collate's "
+            "batch-max width, i.e. exact reference numerics even for "
+            "padding-consuming models (the biGRU, like the reference's "
+            "unpacked torch GRU). Costs one step compile per distinct "
+            "width hit; pays off on heterogeneous-length data (the real "
+            "T12 regime, ~100-700 frames). 'off' (default) keeps the "
+            "single dataset-max bucket"
         ),
     )
     device_data_cache_max_bytes: int = Field(
@@ -305,8 +338,18 @@ class BaseExperimentArgsModel(BaseModel):
             "Storage dtype of Adam's first moment (optax mu_dtype). "
             "bfloat16 halves the moment's HBM footprint and its read+write "
             "traffic in the fused update (~630 MB and ~2 ms/step for the "
-            "317M-param conformer); float32 = exact torch-Adam parity "
-            "(the second moment always stays float32)"
+            "317M-param conformer); float32 = exact torch-Adam parity"
+        ),
+    )
+    adam_nu_dtype: Literal["float32", "bfloat16"] = Field(
+        "float32",
+        description=(
+            "Storage dtype of Adam's SECOND moment. bfloat16 cuts another "
+            "2 x params bytes off the HBM-bound update's traffic; moments "
+            "are computed in float32 each step (storage-only cast), so the "
+            "EMA doesn't stall at bfloat16 resolution — the residual is "
+            "round-to-nearest noise on the denominator (<=2^-9 relative). "
+            "float32 (default) = exact torch-Adam parity"
         ),
     )
     h2d_dtype: Literal["float32", "float16", "bfloat16"] = Field(

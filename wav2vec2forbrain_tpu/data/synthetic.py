@@ -54,6 +54,21 @@ def _signal_track(sentence: str, t: int, n_channels: int) -> np.ndarray:
     return _char_patterns(n_channels)[frame_char]
 
 
+def _trial_frames(
+    rng: np.random.Generator, min_frames: int, max_frames: int, dist: str
+) -> int:
+    """One trial's frame count. 'uniform' (default) draws U[min, max];
+    't12' draws the real corpus's right-skewed shape: T12 sentence trials
+    run ~100-700 frames at 50 Hz (SURVEY §2.4; the reference pads per batch
+    max, ref: src/model/b2p2t_model.py:169-173), with a mode near ~250 and
+    a long tail to the max — modeled as a clipped lognormal (median ~270,
+    p95 ~520)."""
+    if dist == "t12":
+        t = int(np.exp(rng.normal(np.log(270.0), 0.4)))
+        return int(np.clip(t, min_frames, max_frames))
+    return int(rng.integers(min_frames, max_frames + 1))
+
+
 def make_session_mat(
     path: str,
     n_trials: int = 6,
@@ -63,6 +78,7 @@ def make_session_mat(
     n_channels: int = 256,
     seed: int = 0,
     signal_strength: float = 0.0,
+    length_distribution: str = "uniform",
 ) -> None:
     """NB: frames must comfortably exceed the unfold contraction
     ((T-32)//4 output frames) vs the sentence length in characters, or every
@@ -79,7 +95,7 @@ def make_session_mat(
     sentences: List[str] = []
     block_idx = np.zeros((n_trials, 1), dtype=np.float64)
     for i in range(n_trials):
-        t = int(rng.integers(min_frames, max_frames + 1))
+        t = _trial_frames(rng, min_frames, max_frames, length_distribution)
         # keep target_len (chars) well under the (t-32)//4 encoder frames so
         # CTC stays feasible; ~12 frames per word (avg 5 chars + space)
         hi = max(5, min(((t - 32) // 4) // 12, 10))
@@ -119,6 +135,7 @@ def make_synthetic_splits_dir(
     min_frames: int = 150,
     max_frames: int = 250,
     signal_strength: float = 0.0,
+    length_distribution: str = "uniform",
 ) -> str:
     """Create train/ and test/ split dirs populated with synthetic sessions.
 
@@ -152,5 +169,6 @@ def make_synthetic_splits_dir(
                 max_frames=max_frames,
                 seed=seed + 1000 * dirs.index(split_dir) + k,
                 signal_strength=signal_strength,
+                length_distribution=length_distribution,
             )
     return str(root_path)

@@ -81,6 +81,15 @@ def _mu_dtype(cfg):
     return jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
 
 
+def _nu_dtype(cfg):
+    """--adam_nu_dtype -> second-moment storage dtype (None = torch parity)."""
+    import jax.numpy as jnp
+
+    if getattr(cfg, "adam_nu_dtype", "float32") == "bfloat16":
+        return jnp.bfloat16
+    return None
+
+
 class B2TGruW2VExperimentBase:
     """Shared lifecycle for the two registered experiment types."""
 
@@ -322,6 +331,7 @@ class B2TGruW2VExperimentBase:
             weight_decay=cfg.weight_decay,
             eps=cfg.optimizer_epsilon,
             mu_dtype=_mu_dtype(cfg),
+            nu_dtype=_nu_dtype(cfg),
         )
         opt_abs = jax.eval_shape(tx.init, trainable_abs)
         step_cfg = StepConfig(
@@ -667,6 +677,7 @@ class B2TGruW2VExperimentBase:
             weight_decay=cfg.weight_decay,
             eps=cfg.optimizer_epsilon,
             mu_dtype=_mu_dtype(cfg),
+            nu_dtype=_nu_dtype(cfg),
         )
         # place with explicit NamedShardings (like params): jit-inferred
         # output shardings leave some leaves on empty-mesh/unannotated
@@ -720,16 +731,29 @@ class B2TGruW2VExperimentBase:
     def resolve_multi_step_chunk(self) -> int:
         """Chunk size K for the multi-step epoch program (0 = off).
 
-        'auto' enables K=8 on accelerators (where each dispatch/fetch is an
+        'auto' enables K=32 on accelerators (where each dispatch/fetch is an
         RTT worth amortizing — measured 70-85 ms through the axon tunnel,
-        tools/profile_e2e.py) and stays off elsewhere; the Trainer
-        additionally requires the split's device cache to be resident."""
+        tools/profile_e2e.py; larger K amortizes further, tail slots are
+        lax.cond-skipped so over-sized chunks cost ~nothing, and compile
+        time is K-independent under lax.scan) and stays off elsewhere; the
+        Trainer additionally requires the split's device cache to be
+        resident."""
         v = getattr(self.base_config, "multi_step_chunk", "off")
         if v == "off":
             return 0
         if v == "auto":
-            return 8 if jax.devices()[0].platform in ("tpu", "gpu") else 0
+            return 32 if jax.devices()[0].platform in ("tpu", "gpu") else 0
         return max(0, int(v))
+
+    def _cache_time_axis(self) -> int:
+        """Time axis within a cached sample (1 for the (ch, T, F)
+        multichannel layouts, 0 for the standard (T, C) one)."""
+        return (
+            1
+            if self.base_config.preprocessing
+            in ("seperate_zscoring_2channels", "seperate_zscoring_4channels")
+            else 0
+        )
 
     def get_multi_step(self):
         """The K-step train chunk program (lazy: compiled only when the
@@ -746,6 +770,7 @@ class B2TGruW2VExperimentBase:
                 state_constraints=self._state_constraints(
                     self.trainable, self.opt_state
                 ),
+                time_axis=self._cache_time_axis(),
             )
         return self._multi_step
 
@@ -759,6 +784,7 @@ class B2TGruW2VExperimentBase:
                 self.trainable_labels,
                 self.tx,
                 self._step_cfg(),
+                time_axis=self._cache_time_axis(),
             )
         return self._multi_eval
 

@@ -74,12 +74,16 @@ class DeviceDatasetCache:
         day_idxs: np.ndarray,  # (N,) int32
         input_lens: np.ndarray,  # (N,) int32
         target_lens: np.ndarray,  # (N,) int32
+        time_axis: int = 0,  # time axis WITHIN a sample
     ):
         self._host_targets = targets
         self._host_day = day_idxs
         self._host_ilens = input_lens
         self._host_tlens = target_lens
         self._host_feats = feats  # dropped after upload()
+        self._time_axis = time_axis
+        self._t_full = feats.shape[1 + time_axis]
+        self._buckets: Optional[List[int]] = None
         self._dev = None
         self._gather = None
 
@@ -140,6 +144,7 @@ class DeviceDatasetCache:
             target_lens=np.asarray(
                 [calc_seq_len(row) for row in targets], np.int32
             ),
+            time_axis=time_axis,
         )
 
     @property
@@ -187,9 +192,15 @@ class DeviceDatasetCache:
         jax.block_until_ready(self._dev[0])
         self._host_feats = None  # free the host copy
 
-        def gather(feats, targets, day, ilens, tlens, idx, mask):
+        t_axis = 1 + self._time_axis
+
+        def gather(feats, targets, day, ilens, tlens, idx, mask, t_width):
+            # static-width slice of the gathered rows: XLA lowers the pair
+            # to one gather with slice_sizes (no full-width materialization),
+            # so a short bucket reads only its bucket's bytes from HBM
+            x = jax.lax.slice_in_dim(feats[idx], 0, t_width, axis=t_axis)
             return B2tBatch(
-                input=feats[idx],
+                input=x,
                 target=targets[idx],
                 day_idxs=day[idx],
                 input_lens=ilens[idx],
@@ -207,15 +218,50 @@ class DeviceDatasetCache:
                 target_lens=batch_sharding,
                 sample_mask=batch_sharding,
             )
-            self._gather = jax.jit(gather, out_shardings=out_shardings)
+            self._gather = jax.jit(
+                gather, static_argnums=(7,), out_shardings=out_shardings
+            )
         else:
-            self._gather = jax.jit(gather)
+            self._gather = jax.jit(gather, static_argnums=(7,))
         return self
+
+    # --- length buckets -------------------------------------------------------
+
+    def set_buckets(self, t_buckets: Optional[List[int]]):
+        """Enable multi-bucket gathers: per batch, features are sliced to the
+        smallest bucket width covering the batch's longest sample (instead of
+        the dataset-wide max every batch pays in single-bucket mode). One
+        compiled gather + one compiled step program per DISTINCT width
+        actually hit. Widths must be <= the stored (dataset-max) width; the
+        list is normalized to always cover the max."""
+        if not t_buckets:
+            self._buckets = None
+            return self
+        bs = sorted({min(int(b), self._t_full) for b in t_buckets})
+        if bs[-1] < self._t_full:
+            bs.append(self._t_full)
+        self._buckets = bs
+        return self
+
+    def width_for(self, idxs: List[int]) -> int:
+        """The bucket width for a batch: smallest bucket covering its
+        longest sample (dataset max when bucketing is off)."""
+        if self._buckets is None:
+            return self._t_full
+        need = int(self._host_ilens[np.asarray(idxs, np.int64)].max())
+        for b in self._buckets:
+            if b >= need:
+                return b
+        return self._t_full
 
     # --- per-epoch iteration ------------------------------------------------
 
-    def device_batch(self, idx: np.ndarray, mask: np.ndarray) -> B2tBatch:
-        return self._gather(*self._dev, idx, mask)
+    def device_batch(
+        self, idx: np.ndarray, mask: np.ndarray, t_width: Optional[int] = None
+    ) -> B2tBatch:
+        return self._gather(
+            *self._dev, idx, mask, self._t_full if t_width is None else t_width
+        )
 
     def host_batch(self, idxs: List[int]) -> B2tBatch:
         """The evaluator's view (true rows only, features omitted)."""
@@ -235,7 +281,11 @@ class DeviceDatasetCache:
         the exact padding contract of Trainer._put)."""
         for idxs in loader.iter_index_batches():
             idx, mask, true_b = padded_index_row(idxs, batch_size, data_axis)
-            yield self.device_batch(idx, mask), true_b, self.host_batch(idxs)
+            yield (
+                self.device_batch(idx, mask, self.width_for(idxs)),
+                true_b,
+                self.host_batch(idxs),
+            )
 
 
 def build_split_caches(
@@ -292,6 +342,48 @@ def build_split_caches(
             if verbose:
                 print(f"device_data_cache: upload of {split} failed ({e}); "
                       "streaming instead")
+    n_buckets = getattr(config, "length_buckets", "off")
+    if caches and n_buckets != "off":
+        # shared bucket grid across splits so every split's batches hit the
+        # same step shapes — bucket count == max distinct step compiles
+        all_lens = np.concatenate(
+            [c._host_ilens for c in caches.values()]
+        ).astype(np.float64)
+        if n_buckets == "exact":
+            # every pad_to_multiple width any batch can need: a batch's
+            # bucket is then EXACTLY the streaming collate's batch-max width,
+            # so cached runs reproduce reference numerics bit-for-bit even
+            # for models that consume padding (the biGRU feeds padded frames
+            # like the reference's unpacked torch.nn.GRU)
+            widths = sorted(
+                {
+                    round_up(int(l), config.pad_to_multiple)
+                    for l in np.unique(all_lens)
+                }
+            )
+        else:
+            # quantile approximation: fewer compiles; short batches run at
+            # the next bucket up (exact losses for masked models, max-bucket
+            # numerics for padding-sensitive ones — see module docstring)
+            n_buckets = int(n_buckets)
+            if n_buckets < 2:
+                widths = None
+            else:
+                widths = sorted(
+                    {
+                        round_up(
+                            int(np.quantile(all_lens, (i + 1) / n_buckets)),
+                            config.pad_to_multiple,
+                        )
+                        for i in range(n_buckets)
+                    }
+                )
+        if widths:
+            for c in caches.values():
+                c.set_buckets(widths)
+            if verbose:
+                eff = sorted({w for c in caches.values() for w in c._buckets})
+                print(f"device_data_cache: length buckets (frames) {eff}")
     if caches and verbose:
         print(
             f"device_data_cache: resident "

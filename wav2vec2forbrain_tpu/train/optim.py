@@ -84,21 +84,93 @@ def two_module_warmup_schedules(
     return LRSchedules(brain=module1_lr, w2v=module2_lr)
 
 
+def scale_by_adam_nu_dtype(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype=None,
+    nu_dtype=None,
+) -> optax.GradientTransformation:
+    """optax.scale_by_adam with a storage dtype for the SECOND moment too.
+
+    The Adam update is HBM-bandwidth-bound on TPU (read p, g, mu, nu; write
+    p, mu, nu — ~7.6 GB/step f32 for the headline conformer,
+    tools/profile_step.py attribution); storing nu in bfloat16 cuts another
+    2 x params bytes off that traffic. Moments are COMPUTED in f32 every
+    step (only storage is cast), so the EMA itself doesn't stall at bf16
+    resolution; the residual effect is round-to-nearest quantization noise
+    on nu, i.e. <=2^-9 relative on the denominator — far below Adam's eps
+    regime for trained nets, but opt-in (--adam_nu_dtype, default f32
+    keeps bitwise torch-parity via stock optax.scale_by_adam).
+    """
+    if nu_dtype is None:
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype)
+
+    def init(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype), params
+        )
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + jnp.array(1, jnp.int32)
+        mu32 = jax.tree_util.tree_map(
+            lambda g, m: b1 * m.astype(jnp.float32) + (1.0 - b1) * g,
+            updates,
+            state.mu,
+        )
+        nu32 = jax.tree_util.tree_map(
+            lambda g, v: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g),
+            updates,
+            state.nu,
+        )
+        # same bias-corrected form as optax.scale_by_adam (eps_root=0)
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu32, nu32
+        )
+        mu = jax.tree_util.tree_map(
+            lambda m, old: m.astype(old.dtype), mu32, state.mu
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v: v.astype(nu_dtype), nu32
+        )
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def _group_core(
-    optimizer: str, weight_decay: float, eps: float, mu_dtype=None
+    optimizer: str,
+    weight_decay: float,
+    eps: float,
+    mu_dtype=None,
+    nu_dtype=None,
 ) -> optax.GradientTransformation:
     """Direction/moment transformation WITHOUT the lr scale.
 
     torch Adam: g <- g + wd * p, then Adam moments on g.
     torch SGD (momentum 0): g <- g + wd * p.
-    mu_dtype: storage dtype of Adam's first moment (--adam_mu_dtype);
-    None keeps the param dtype (f32 = torch parity).
+    mu_dtype/nu_dtype: storage dtypes of Adam's moments (--adam_mu_dtype /
+    --adam_nu_dtype); None keeps the param dtype (f32 = torch parity).
     """
     parts = []
     if weight_decay != 0.0:
         parts.append(optax.add_decayed_weights(weight_decay))
     if optimizer == "adam":
-        parts.append(optax.scale_by_adam(eps=eps, mu_dtype=mu_dtype))
+        parts.append(
+            scale_by_adam_nu_dtype(
+                eps=eps, mu_dtype=mu_dtype, nu_dtype=nu_dtype
+            )
+        )
     elif optimizer == "sgd":
         pass
     else:
@@ -112,14 +184,12 @@ def make_optimizer(
     weight_decay: float = 0.0,
     eps: float = 1e-8,
     mu_dtype=None,
+    nu_dtype=None,
 ) -> optax.GradientTransformation:
     """multi_transform over the label pytree; frozen params get zero updates."""
+    core = _group_core(optimizer, weight_decay, eps, mu_dtype, nu_dtype)
     return optax.multi_transform(
-        {
-            "brain": _group_core(optimizer, weight_decay, eps, mu_dtype),
-            "w2v": _group_core(optimizer, weight_decay, eps, mu_dtype),
-            "frozen": optax.set_to_zero(),
-        },
+        {"brain": core, "w2v": core, "frozen": optax.set_to_zero()},
         labels,
     )
 

@@ -271,12 +271,13 @@ def build_multi_step(
     tx: optax.GradientTransformation,
     step_cfg: StepConfig,
     state_constraints=None,
+    time_axis: int = 0,
 ):
     """K-step epoch chunk: lax.scan over device-cache gathers + train steps.
 
     multi_step(trainable, frozen, opt_state, model_state, cache_arrays,
-               idx_mat (K, B) int32, mask_mat (K, B) f32, rng,
-               brain_lr, w2v_lr) -> MultiStepOut
+               idx_mat (K, B) int32, mask_mat (K, B) f32, valid (K,) bool,
+               rng, brain_lr, w2v_lr, t_width) -> MultiStepOut
 
     cache_arrays is the DeviceDatasetCache device tuple (feats, targets,
     day_idxs, input_lens, target_lens); each scan iteration assembles its
@@ -284,14 +285,19 @@ def build_multi_step(
     work is one dispatch (tiny index matrices H2D) and one stacked-output
     fetch — K optimizer steps per RTT instead of one. Numerics are identical
     to K sequential single steps (same RNG chain, same gather contract).
-    K is static per compiled program (ragged epoch tails run on the
-    single-step program).
+    Slots with valid=False are SKIPPED via lax.cond (the carry — params,
+    optimizer state, RNG — passes through untouched and ~no compute runs),
+    so ragged epoch tails are padded with duplicate rows + valid=False and
+    still ride the one compiled (K, width) program instead of falling back
+    to per-step dispatches. t_width (static) is the chunk's length-bucket
+    width — features are sliced to it before the step.
     """
     from wav2vec2forbrain_tpu.data.batch import B2tBatch
 
     train_step, _ = build_step_fns(
         spec, trainable_labels, tx, step_cfg, state_constraints
     )
+    t_axis = 1 + time_axis
 
     def multi_step(
         trainable,
@@ -301,17 +307,20 @@ def build_multi_step(
         cache_arrays,
         idx_mat,
         mask_mat,
+        valid,
         rng,
         brain_lr,
         w2v_lr,
+        t_width,
     ) -> MultiStepOut:
         feats, targets, day_idxs, input_lens, target_lens = cache_arrays
 
-        def body(carry, xs):
+        def run_step(carry, idx, mask):
             t, o, s, r = carry
-            idx, mask = xs
             batch = B2tBatch(
-                input=feats[idx],
+                input=jax.lax.slice_in_dim(
+                    feats[idx], 0, t_width, axis=t_axis
+                ),
                 target=targets[idx],
                 day_idxs=day_idxs[idx],
                 input_lens=input_lens[idx],
@@ -324,14 +333,33 @@ def build_multi_step(
                 (out.loss, out.pred_ids, out.logit_lens, out.metrics),
             )
 
+        # padded-slot outputs: zeros with the real ys structure (abstract
+        # eval only — nothing is computed here)
+        ys_shape = jax.eval_shape(
+            lambda c: run_step(c, idx_mat[0], mask_mat[0])[1],
+            (trainable, opt_state, model_state, rng),
+        )
+        zeros_ys = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, a.dtype), ys_shape
+        )
+
+        def body(carry, xs):
+            idx, mask, v = xs
+            return jax.lax.cond(
+                v,
+                lambda c: run_step(c, idx, mask),
+                lambda c: (c, zeros_ys),
+                carry,
+            )
+
         (t, o, s, r), (loss, pred_ids, logit_lens, metrics) = jax.lax.scan(
             body,
             (trainable, opt_state, model_state, rng),
-            (idx_mat, mask_mat),
+            (idx_mat, mask_mat, valid),
         )
         return MultiStepOut(t, o, s, r, loss, pred_ids, logit_lens, metrics)
 
-    return jax.jit(multi_step, donate_argnums=(0, 2, 3))
+    return jax.jit(multi_step, donate_argnums=(0, 2, 3), static_argnums=(11,))
 
 
 def build_multi_eval(
@@ -340,30 +368,43 @@ def build_multi_eval(
     tx: optax.GradientTransformation,
     step_cfg: StepConfig,
     state_constraints=None,
+    time_axis: int = 0,
 ):
     """K-batch eval chunk: scan over device-cache gathers + eval steps.
 
     multi_eval(trainable, frozen, model_state, cache_arrays, idx_mat,
-               mask_mat) -> (loss (K,), logit_lens (K, B), pred_ids
-               (K, B, T'), metrics dict of (K,))
+               mask_mat, valid (K,) bool, t_width) -> (loss (K,), logit_lens
+               (K, B), pred_ids (K, B, T'), metrics dict of (K,))
 
-    Logits are NOT returned (a (K, B, T', V) stack would defeat the tiny-
-    fetch design); epochs that need full logits (LM decode, prediction
-    dumps) use the single-step eval path.
+    Slots with valid=False (tail padding) are lax.cond-skipped — zero
+    outputs, ~no compute. Logits are NOT returned (a (K, B, T', V) stack
+    would defeat the tiny-fetch design); epochs that need full logits
+    (LM decode, prediction dumps) use the single-step eval path.
     """
     from wav2vec2forbrain_tpu.data.batch import B2tBatch
 
     _, eval_step = build_step_fns(
         spec, trainable_labels, tx, step_cfg, state_constraints
     )
+    t_axis = 1 + time_axis
 
-    def multi_eval(trainable, frozen, model_state, cache_arrays, idx_mat, mask_mat):
+    def multi_eval(
+        trainable,
+        frozen,
+        model_state,
+        cache_arrays,
+        idx_mat,
+        mask_mat,
+        valid,
+        t_width,
+    ):
         feats, targets, day_idxs, input_lens, target_lens = cache_arrays
 
-        def body(carry, xs):
-            idx, mask = xs
+        def run_eval(idx, mask):
             batch = B2tBatch(
-                input=feats[idx],
+                input=jax.lax.slice_in_dim(
+                    feats[idx], 0, t_width, axis=t_axis
+                ),
                 target=targets[idx],
                 day_idxs=day_idxs[idx],
                 input_lens=input_lens[idx],
@@ -373,12 +414,24 @@ def build_multi_eval(
             loss, _logits, logit_lens, pred_ids, metrics = eval_step(
                 trainable, frozen, model_state, batch
             )
-            return carry, (loss, logit_lens, pred_ids, metrics)
+            return loss, logit_lens, pred_ids, metrics
 
-        _, ys = jax.lax.scan(body, (), (idx_mat, mask_mat))
+        ys_shape = jax.eval_shape(run_eval, idx_mat[0], mask_mat[0])
+        zeros_ys = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, a.dtype), ys_shape
+        )
+
+        def body(carry, xs):
+            idx, mask, v = xs
+            ys = jax.lax.cond(
+                v, lambda: run_eval(idx, mask), lambda: zeros_ys
+            )
+            return carry, ys
+
+        _, ys = jax.lax.scan(body, (), (idx_mat, mask_mat, valid))
         return ys
 
-    return jax.jit(multi_eval)
+    return jax.jit(multi_eval, static_argnums=(7,))
 
 
 def clip_by_global_norm_pair(g_t, g_f, max_norm: float):

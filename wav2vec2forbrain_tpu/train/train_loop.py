@@ -170,6 +170,40 @@ def _pad_batch(batch: B2tBatch, multiple: int) -> B2tBatch:
     )
 
 
+def _chunk_work_plan(rows, k: int, cache, grouped: bool):
+    """Group an epoch's index batches into (i0, K rows, width, n_real)
+    chunks for the multi-step scan programs.
+
+    Each chunk holds CONSECUTIVE batches sharing one length-bucket width
+    (the scan is compiled per (K, width)); a run's ragged tail is padded
+    with duplicates of its last row — the scan skips those slots via their
+    valid=False flag, so padding costs ~nothing. With `grouped`, batches
+    are first stably reordered by width so each width forms ONE run
+    (minimum dispatches on bucketed data, where shuffled widths otherwise
+    interleave into short runs); batch composition and per-batch numerics
+    are unchanged, only the within-epoch step order moves — see
+    --length_bucket_order."""
+    widths = [cache.width_for(r[3]) for r in rows]
+    order = list(range(len(rows)))
+    if grouped:
+        order.sort(key=lambda i: widths[i])  # stable: preserves order per width
+    work = []
+    i0 = 0
+    while i0 < len(order):
+        j = i0
+        while j < len(order) and widths[order[j]] == widths[order[i0]]:
+            j += 1
+        run = [rows[order[t]] for t in range(i0, j)]
+        for c in range(0, len(run), k):
+            sub = list(run[c : c + k])
+            n_real = len(sub)
+            while len(sub) < k:
+                sub.append(sub[-1])
+            work.append((i0 + c, sub, widths[order[i0]], n_real))
+        i0 = j
+    return work
+
+
 class Trainer:
     def __init__(self, experiment):
         self.experiment = experiment
@@ -265,6 +299,15 @@ class Trainer:
             )
         return _batch_stream(
             loader, self._put, getattr(self.config, "host_prefetch", True)
+        )
+
+    def _bucket_order_grouped(self) -> bool:
+        """Whether TRAIN epochs may reorder batches width-grouped (see
+        --length_bucket_order). Eval epochs always group — their results
+        are order-invariant."""
+        return (
+            getattr(self.config, "length_bucket_order", "preserve")
+            == "grouped"
         )
 
     def _log_intermediate(self, i: int, n: int, evaluator):
@@ -375,8 +418,9 @@ class Trainer:
         mask matrices; each chunk is one jitted lax.scan dispatch that
         gathers every batch on device and returns the K steps' evaluator
         payloads stacked. Lag-1 pipelining applies at chunk granularity: the
-        host decodes chunk c's K batches while chunk c+1 runs. The ragged
-        epoch tail (< K batches) runs on the single-step program."""
+        host decodes chunk c's K batches while chunk c+1 runs. Ragged tails
+        ride the same program as padded valid=False slots (lax.cond-skipped
+        on device) — see _chunk_work_plan."""
         from wav2vec2forbrain_tpu.train.device_cache import padded_index_row
 
         evaluator = self.experiment.create_evaluator("train")
@@ -407,15 +451,23 @@ class Trainer:
             ):
                 self._log_intermediate(i, n, evaluator)
 
-        pending = None  # (MultiStepOut, chunk rows, first batch index)
-        n_chunks = len(rows) // k
+        pending = None  # (MultiStepOut, chunk rows, first batch index, n_real)
+        # Work plan: chunks of up to K CONSECUTIVE batches sharing one bucket
+        # width (the scan needs a static shape, and using the run's own width
+        # — never a chunk max — keeps chunked numerics identical to per-batch
+        # steps at any bucket config, including the padding-consuming biGRU).
+        # Run tails shorter than K are padded with duplicate rows carrying
+        # valid=False: the scan lax.cond-skips them (params/opt/RNG untouched,
+        # ~no compute), so EVERY batch rides a chunk program and the host
+        # pays ceil(run/K) dispatches per run instead of one per tail batch.
+        work = _chunk_work_plan(rows, k, cache, self._bucket_order_grouped())
 
-        def process_chunk(mo, chunk, i0):
+        def process_chunk(mo, chunk, i0, n_real):
             loss = np.asarray(mo.loss)
             pred_ids = np.asarray(mo.pred_ids)
             logit_lens = np.asarray(mo.logit_lens)
             metrics = {k_: np.asarray(v) for k_, v in mo.metrics.items()}
-            for j, (_idx, _mask, true_b, idxs) in enumerate(chunk):
+            for j, (_idx, _mask, true_b, idxs) in enumerate(chunk[:n_real]):
                 track(
                     loss[j],
                     pred_ids[j],
@@ -426,10 +478,12 @@ class Trainer:
                     i0 + j,
                 )
 
-        for c in range(n_chunks):
-            chunk = rows[c * k : (c + 1) * k]
+        # lag-1 pipeline over the chunks: chunk m's host decode overlaps
+        # chunk m+1's device compute
+        for i0, chunk, width, n_real in work:
             idx_mat = np.stack([r[0] for r in chunk])
             mask_mat = np.stack([r[1] for r in chunk])
+            valid = np.arange(len(chunk)) < n_real
             mo = multi_step(
                 self.trainable,
                 self.frozen,
@@ -438,60 +492,30 @@ class Trainer:
                 cache._dev,
                 idx_mat,
                 mask_mat,
+                valid,
                 self.rng,
                 brain_lr,
                 w2v_lr,
+                width,
             )
             self.trainable = mo.params
             self.opt_state = mo.opt_state
             self.model_state = mo.model_state
             self.rng = mo.rng
-            chunk_samples = sum(r[2] for r in chunk)
-            self.samples_seen += chunk_samples
-            epoch_samples += chunk_samples
+            n_new = sum(r[2] for r in chunk[:n_real])
             _copy_to_host_async(
                 mo.loss,
                 mo.pred_ids,
                 mo.logit_lens,
                 *jax.tree_util.tree_leaves(mo.metrics),
             )
+            self.samples_seen += n_new
+            epoch_samples += n_new
             if pending is not None:
                 process_chunk(*pending)
-            pending = (mo, chunk, c * k)
+            pending = (mo, chunk, i0, n_real)
         if pending is not None:
             process_chunk(*pending)
-
-        # ragged tail: per-batch single steps (same program as the
-        # non-chunked path; an optimizer step must never run on an
-        # all-masked padding batch, so the tail is NOT padded to K)
-        for j, (idx, mask, true_b, idxs) in enumerate(rows[n_chunks * k :]):
-            out = self.train_step(
-                self.trainable,
-                self.frozen,
-                self.opt_state,
-                self.model_state,
-                cache.device_batch(idx, mask),
-                self.rng,
-                brain_lr,
-                w2v_lr,
-            )
-            self.trainable = out.params
-            self.opt_state = out.opt_state
-            self.model_state = out.model_state
-            self.rng = out.rng
-            self.samples_seen += true_b
-            epoch_samples += true_b
-            track(
-                out.loss,
-                out.pred_ids,
-                out.logit_lens,
-                {k_: float(v) for k_, v in out.metrics.items()}
-                if out.metrics
-                else {},
-                idxs,
-                true_b,
-                n_chunks * k + j,
-            )
 
         dt_epoch = time.perf_counter() - t_epoch
         self.train_step_time += dt_epoch
@@ -565,10 +589,8 @@ class Trainer:
     ) -> SingleEpochHistory:
         """K-batch-per-dispatch eval epoch (no logits fetched — epochs that
         need full logits, e.g. LM decode, stay on the single-step path).
-        Unlike the train chunker, the tail CAN be padded with masked
-        duplicate batches: eval has no state update, and masked rows are
-        excluded from loss/metrics, so the duplicates are simply dropped on
-        the host (their outputs are never tracked)."""
+        Tail slots are duplicate rows with valid=False, skipped on device;
+        their outputs are never tracked on the host."""
         from wav2vec2forbrain_tpu.train.device_cache import padded_index_row
 
         multi_eval = self.experiment.get_multi_eval()
@@ -578,11 +600,10 @@ class Trainer:
             + (idxs,)
             for idxs in dataloader.iter_index_batches()
         ]
-        # pad the tail chunk with duplicates of the last batch so every
-        # dispatch reuses the ONE compiled (K, B) program
-        n_real = len(rows)
-        while len(rows) % k:
-            rows.append(rows[-1])
+        # eval results are order-invariant (averaged), so batches are always
+        # width-GROUPED: one run per bucket width, ceil(run/K) dispatches;
+        # tail slots carry valid=False and are lax.cond-skipped on device
+        work = _chunk_work_plan(rows, k, cache, grouped=True)
 
         def track(loss, pred_ids, logit_lens, metrics, idxs, true_b, i):
             preds = {
@@ -600,15 +621,15 @@ class Trainer:
 
         pending = None
 
-        def process_chunk(ys, chunk, i0):
+        def process_chunk(ys, chunk, i0, n_real_sub):
             loss, logit_lens, pred_ids, metrics = ys
             loss = np.asarray(loss)
             logit_lens = np.asarray(logit_lens)
             pred_ids = np.asarray(pred_ids)
             metrics = {k_: np.asarray(v) for k_, v in metrics.items()}
-            for j, (_idx, _mask, true_b, idxs) in enumerate(chunk):
-                if i0 + j >= n_real:  # padded duplicate batch
-                    break
+            for j, (_idx, _mask, true_b, idxs) in enumerate(
+                chunk[:n_real_sub]
+            ):
                 track(
                     loss[j],
                     pred_ids[j],
@@ -619,10 +640,10 @@ class Trainer:
                     i0 + j,
                 )
 
-        for c in range(len(rows) // k):
-            chunk = rows[c * k : (c + 1) * k]
+        for i0, chunk, width, n_real_sub in work:
             idx_mat = np.stack([r[0] for r in chunk])
             mask_mat = np.stack([r[1] for r in chunk])
+            valid = np.arange(len(chunk)) < n_real_sub
             ys = multi_eval(
                 self.trainable,
                 self.frozen,
@@ -630,11 +651,13 @@ class Trainer:
                 cache._dev,
                 idx_mat,
                 mask_mat,
+                valid,
+                width,
             )
             _copy_to_host_async(*jax.tree_util.tree_leaves(ys))
             if pending is not None:
                 process_chunk(*pending)
-            pending = (ys, chunk, c * k)
+            pending = (ys, chunk, i0, n_real_sub)
         if pending is not None:
             process_chunk(*pending)
         results = evaluator.evaluate()
