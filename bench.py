@@ -83,10 +83,50 @@ def _bench_configs(on_accel, family):
             # features live in HBM at f16 (device_data_cache): the wire
             # dtype is also the cache storage dtype
             h2d_dtype="float16",
-            # bf16 first moment: -2 ms/step measured (112.0 vs 113.9 ms,
-            # tools/profile_step.py --mu-dtype A/B); documented TPU-native
-            # option, f32 remains the torch-parity default
+            # bf16 moments: mu -2 ms/step (112.0 vs 113.9), nu -4.9 ms/step
+            # (136.3 vs 141.2, tools/profile_step.py --mu/--nu-dtype A/B);
+            # documented TPU-native options, f32 stays the parity default
             adam_mu_dtype="bfloat16",
+            adam_nu_dtype="bfloat16",
+        )
+        steps, warmup = 20, 3
+    elif on_accel and family == "conformer_long":
+        # paper-regime long sequences: the real T12 corpus runs ~100-700
+        # frames with a right-skewed distribution (SURVEY §2.4; ref
+        # src/model/b2p2t_model.py:169-173 pads per batch max). Length
+        # buckets keep short batches off the 704-frame shape; the scanned
+        # (+remat) encoder keeps the 704-frame bucket inside HBM at bs 32
+        # (unrolled OOMs there).
+        gen = dict(
+            session_names=sessionNames[:4],
+            n_trials=300,
+            n_blocks=5,
+            test_dir_n_trials=8,
+            min_frames=100,
+            max_frames=700,
+            length_distribution="t12",
+        )
+        run_cfg = dict(
+            experiment_type="b2p2t_gru+w2v_conformer",
+            wav2vec_checkpoint="facebook/wav2vec2-conformer-rope-large-960h-ft",
+            tokenizer_checkpoint="facebook/wav2vec2-conformer-rope-large-960h-ft",
+            unfreeze_strategy="brain_encoder+w2v",
+            w2v_learning_rate=1e-4,
+            w2v_warmup_start_step=0,
+            w2v_warmup_steps=3,
+            batch_size=32,
+            epochs=4,
+            compute_dtype="bfloat16",
+            activation_dtype="bfloat16",
+            use_pallas=True,
+            pad_to_multiple=64,
+            target_pad_to_multiple=64,
+            length_buckets=4,
+            length_bucket_order="grouped",
+            scan_layers=True,
+            h2d_dtype="float16",
+            adam_mu_dtype="bfloat16",
+            adam_nu_dtype="bfloat16",
         )
         steps, warmup = 20, 3
     elif on_accel:  # fft-sweep wav2vec2-base full-fine-tune shape
@@ -116,10 +156,11 @@ def _bench_configs(on_accel, family):
             pad_to_multiple=384,
             target_pad_to_multiple=64,
             h2d_dtype="float16",
-            # bf16 first moment: -2 ms/step measured (112.0 vs 113.9 ms,
-            # tools/profile_step.py --mu-dtype A/B); documented TPU-native
-            # option, f32 remains the torch-parity default
+            # bf16 moments: mu -2 ms/step (112.0 vs 113.9), nu -4.9 ms/step
+            # (136.3 vs 141.2, tools/profile_step.py --mu/--nu-dtype A/B);
+            # documented TPU-native options, f32 stays the parity default
             adam_mu_dtype="bfloat16",
+            adam_nu_dtype="bfloat16",
         )
         steps, warmup = 20, 3
     else:  # CPU smoke mode
@@ -286,6 +327,29 @@ def _reset_device_state(exp):
     exp.step_rng = jax.random.PRNGKey(exp.base_config.seed + 1)
 
 
+def bench_long(tmp, on_accel):
+    """Long-sequence (paper-regime) e2e row: Trainer throughput on the t12
+    length distribution with length buckets + width-grouped chunking.
+    No isolated phase — the multi-bucket epoch runs several step shapes, so
+    a single fixed-shape step number would not be comparable; epoch 1
+    carries the per-bucket compiles and is excluded by the warm median."""
+    exp, _steps, _warmup = _make_experiment(tmp, on_accel, "conformer_long")
+    t0 = time.perf_counter()
+    exp.run()
+    wall = time.perf_counter() - t0
+    with open(os.path.join(exp.results_dir, "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    tput = [
+        row["train_samples_per_sec_per_chip"]
+        for row in rows
+        if row.get("_type") == "metrics"
+        and "train_samples_per_sec_per_chip" in row
+    ]
+    warm = tput[1:] or tput
+    buckets = exp.get_device_caches()["train"]._buckets
+    return float(np.median(warm)), tput, wall, buckets
+
+
 def bench_family(tmp, on_accel, family="conformer", **overrides):
     """One experiment, two measurements: isolated step timing (which doubles
     as the full warmup), then the real Trainer run on the same jit programs.
@@ -444,6 +508,28 @@ def main():
             except Exception:
                 extra["w2v_base_fft_isolated_samples_per_sec_per_chip"] = None
                 extra["w2v_base_fft_e2e_samples_per_sec_per_chip"] = None
+
+            # third phase: paper-regime long sequences (t12 length
+            # distribution to 700 frames, length buckets) — best-effort
+            gc.collect()
+            try:
+                long_e2e, long_epochs, long_wall, long_buckets = retry(
+                    lambda: bench_long(tmp, on_accel), 2
+                )
+                extra["long_seq_e2e_samples_per_sec_per_chip"] = round(
+                    long_e2e, 2
+                )
+                extra["long_seq_e2e_vs_baseline"] = round(
+                    long_e2e / A100_CONFORMER_SAMPLES_PER_SEC_EST, 3
+                )
+                extra["long_seq_per_epoch"] = [
+                    round(t, 2) for t in long_epochs
+                ]
+                extra["long_seq_bucket_widths_frames"] = long_buckets
+                extra["long_seq_run_wall_s"] = round(long_wall, 1)
+            except Exception as e:
+                print(f"long-seq phase failed: {e!r}", flush=True)
+                extra["long_seq_e2e_samples_per_sec_per_chip"] = None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

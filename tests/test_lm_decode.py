@@ -150,3 +150,77 @@ def test_batch_threading(plain_decoder):
     )
     out = plain_decoder.decode_batch(batch, n_threads=2)
     assert out == ["HI CAT", "NO WAY"]
+
+
+def test_async_lm_decode_pool_metrics_and_order():
+    """The worker-pool LM decode must produce the SAME history (per-batch
+    metrics, averaged metrics, stored predictions, decode order) as a
+    synchronous decode — late-resolved metrics are folded into both the
+    entries and the running total before aggregation."""
+    import time
+
+    import numpy as np
+
+    from wav2vec2forbrain_tpu.data.batch import B2tBatch
+    from wav2vec2forbrain_tpu.data.tokenizer import Wav2Vec2CTCTokenizer
+    from wav2vec2forbrain_tpu.train.evaluator import EvaluatorWithLMDecoder
+
+    tok = Wav2Vec2CTCTokenizer.from_pretrained("facebook/wav2vec2-base-960h")
+    vocab = tok.get_vocab_list()
+    v = len(vocab)
+
+    calls = []
+
+    def slow_decoder(logits, logit_lens):
+        # deliberately out-of-order completion pressure: the first batch is
+        # the slowest
+        time.sleep(0.2 if not calls else 0.01)
+        calls.append(logits.shape[0])
+        return ["HEY THERE"] * logits.shape[0]
+
+    ev = EvaluatorWithLMDecoder(
+        tok,
+        "test",
+        lm_decoder=slow_decoder,
+        lm_decode_test_predictions=True,
+        lm_decode_workers=3,
+    )
+    rng = np.random.default_rng(0)
+    n_batches, b, t = 4, 2, 12
+    sentences = ["HEY THERE", "HI YOU"]
+    target = np.full((b, 12), tok.pad_token_id, np.int32)
+    for i, s in enumerate(sentences):
+        ids = tok.encode(s.upper())[:12]
+        target[i, : len(ids)] = ids
+    for i in range(n_batches):
+        logits = rng.normal(size=(b, t, v)).astype(np.float32)
+        preds = {
+            "loss": 1.0 + i,
+            "pred_ids": np.argmax(logits, -1),
+            "logits": logits,
+            "logit_lens": np.full((b,), t, np.int32),
+        }
+        batch = B2tBatch(
+            input=np.zeros((b, 4, 4), np.float32),
+            target=target,
+            day_idxs=np.zeros((b,), np.int32),
+            input_lens=np.full((b,), 4, np.int32),
+            target_lens=np.full((b,), 12, np.int32),
+            sample_mask=np.ones((b,), np.float32),
+        )
+        ev.track_batch(preds, batch)
+    hist = ev.evaluate()
+    ev.clean_up()
+    assert len(ev.lm_decoded_batches) == n_batches
+    # per-entry metrics present and exact: predictions == first label
+    for entry in hist.metrics:
+        assert "word_error_rate_lm_decode" in entry.metrics
+        assert "char_error_rate_lm_decode" in entry.metrics
+    avg = hist.get_average()
+    # "HEY THERE" vs labels ["HEY THERE", "HI YOU"]: WER = mean(0, 1) = 0.5
+    assert avg.metrics["word_error_rate_lm_decode"] == 0.5
+    # the running loss average is unaffected by async resolution
+    assert avg.loss == np.mean([1.0 + i for i in range(n_batches)])
+    # stored predictions carry the lm decodes, in batch order
+    for stored in hist.decoded:
+        assert stored["predictions_lm_decoded"] == ["HEY THERE"] * b

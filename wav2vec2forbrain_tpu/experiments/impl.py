@@ -134,11 +134,14 @@ class B2TGruW2VExperimentBase:
             *subdir,
             f"{datetime.now():%Y-%m-%d_%H#%M#%S}",
         )
-        os.makedirs(self.results_dir, exist_ok=True)
-        with open(os.path.join(self.results_dir, "config.json"), "w") as f:
-            config_copy = dict(config)
-            config_copy["repro_cmd"] = "python " + " ".join(sys.argv)
-            json.dump(config_copy, f, indent=5)
+        from wav2vec2forbrain_tpu.parallel.distributed import is_coordinator
+
+        if is_coordinator():
+            os.makedirs(self.results_dir, exist_ok=True)
+            with open(os.path.join(self.results_dir, "config.json"), "w") as f:
+                config_copy = dict(config)
+                config_copy["repro_cmd"] = "python " + " ".join(sys.argv)
+                json.dump(config_copy, f, indent=5)
 
         # mesh (TPU-native; the reference is single-GPU `.cuda()`)
         self.mesh = make_mesh(
@@ -1035,21 +1038,34 @@ class B2TGruW2VExperimentBase:
                 self.frozen = trainer.frozen
                 self.opt_state = trainer.opt_state
                 self.model_state = trainer.model_state
-                if self.base_config.store_final_model:
+                from wav2vec2forbrain_tpu.parallel.distributed import (
+                    is_coordinator,
+                )
+
+                # artifact writes: coordinator only (every process holds
+                # identical history/metrics; multi-host runs share one
+                # results tree)
+                if self.base_config.store_final_model and is_coordinator():
                     self.store_trained_model()
-                with open(
-                    os.path.join(self.results_dir, "history.json"), "w"
-                ) as f:
-                    json.dump(history.to_dict(), f, indent=5)
-                self.plot_results(history)
-                self.process_test_results(history.test_losses)
+                if is_coordinator():
+                    with open(
+                        os.path.join(self.results_dir, "history.json"), "w"
+                    ) as f:
+                        json.dump(history.to_dict(), f, indent=5)
+                    self.plot_results(history)
+                    self.process_test_results(history.test_losses)
             else:
+                from wav2vec2forbrain_tpu.parallel.distributed import (
+                    is_coordinator,
+                )
+
                 test_results = self.run_real_world_test(trainer)
                 if test_results is not None:
                     self.logger.log(
                         trainer._get_wandb_metrics(test_results, "test")
                     )
-                    self.process_test_results(test_results)
+                    if is_coordinator():
+                        self.process_test_results(test_results)
             if self.base_config.log_results_as_artifact:
                 self._log_results_artifact()
             print(f"Done. Saved results to {self.results_dir}")
@@ -1087,8 +1103,10 @@ class B2TGruW2VExperimentBase:
         return test_results
 
     def _predict_and_store(self, trainer, mode: Literal["train", "test"]):
+        from wav2vec2forbrain_tpu.parallel.distributed import is_coordinator
+
         prediction = self._predict(trainer, mode)
-        if prediction is not None:
+        if prediction is not None and is_coordinator():
             with open(
                 os.path.join(self.results_dir, f"{mode}_predictions.json"), "w"
             ) as f:
@@ -1096,16 +1114,23 @@ class B2TGruW2VExperimentBase:
         return prediction
 
     def _predict(self, trainer, mode: Literal["train", "test"]):
+        """Lag-1 pipelined prediction pass: batch i+1 is dispatched on the
+        device before batch i's full logits are fetched and decoded, so the
+        logits D2H (an RTT per batch through remote tunnels — the largest
+        fetch the framework does) overlaps the next batch's eval compute.
+        Same pipeline shape as the Trainer's epochs; matters most for
+        --predict_on_train over the full train split."""
+        from wav2vec2forbrain_tpu.parallel.distributed import is_coordinator
+        from wav2vec2forbrain_tpu.train.train_loop import _copy_to_host_async
+
         dataloader = (
             self.dataloader_train if mode == "train" else self.dataloader_test
         )
         evaluator = self.create_evaluator("test" if mode == "test" else "train", True)
         n = len(dataloader)
-        for i, host_batch in enumerate(dataloader):
-            batch, true_b = trainer._put(host_batch)
-            loss, logits, logit_lens, pred_ids, _metrics = trainer.eval_step(
-                trainer.trainable, trainer.frozen, trainer.model_state, batch
-            )
+        pending = None
+
+        def process(loss, logits, logit_lens, pred_ids, host_batch, true_b, i):
             preds = {
                 "loss": float(loss),
                 "pred_ids": np.asarray(pred_ids)[:true_b],
@@ -1113,7 +1138,10 @@ class B2TGruW2VExperimentBase:
                 "logit_lens": np.asarray(logit_lens)[:true_b],
             }
             evaluator.track_batch(preds, host_batch)
-            if i < self.base_config.visualize_predictions_n_batches:
+            if (
+                i < self.base_config.visualize_predictions_n_batches
+                and is_coordinator()
+            ):
                 out_dir = os.path.join(self.results_dir, f"{mode}_predictions")
                 os.makedirs(out_dir, exist_ok=True)
                 self.visualize_predictions(
@@ -1126,6 +1154,21 @@ class B2TGruW2VExperimentBase:
                 f"Running predictions on {mode}. Batch {i + 1}/{n} done\r",
                 end="",
             )
+
+        for i, host_batch in enumerate(dataloader):
+            batch, true_b = trainer._put(host_batch)
+            loss, logits, logit_lens, pred_ids, _metrics = trainer.eval_step(
+                trainer.trainable, trainer.frozen, trainer.model_state, batch
+            )
+            logits, logit_lens, pred_ids = trainer._host_payload(
+                logits, logit_lens, pred_ids
+            )
+            _copy_to_host_async(loss, logits, logit_lens, pred_ids)
+            if pending is not None:
+                process(*pending)
+            pending = (loss, logits, logit_lens, pred_ids, host_batch, true_b, i)
+        if pending is not None:
+            process(*pending)
         result = evaluator.evaluate()
         evaluator.clean_up()
         return result

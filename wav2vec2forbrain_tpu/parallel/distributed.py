@@ -45,11 +45,78 @@ def maybe_initialize_distributed() -> bool:
         return False
 
 
-def process_batch_slice(global_batch: int) -> tuple:
-    """(per-process batch, offset) for host-sharded data loading."""
+def is_coordinator() -> bool:
+    """True on the process that owns file writes (checkpoints, logs,
+    results artifacts). Multi-host runs assume the results/cache dirs live
+    on a filesystem every process can READ (standard pod setup); only
+    process 0 ever writes."""
     import jax
 
-    n = jax.process_count()
-    i = jax.process_index()
-    per = global_batch // n
-    return per, i * per
+    return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process). Used after
+    coordinator-only writes that other processes subsequently read, e.g.
+    the best-model checkpoint reload at the end of training."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def shared_uuid() -> str:
+    """A uuid4 string that is IDENTICAL on every process (the coordinator's
+    value, broadcast): multi-host runs must agree on coordinator-written
+    paths they all read back (e.g. the best-model checkpoint)."""
+    import uuid
+
+    import jax
+
+    u = uuid.uuid4()
+    if jax.process_count() == 1:
+        return str(u)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    bits = np.frombuffer(u.bytes, dtype=np.uint8).copy()
+    bits = np.asarray(multihost_utils.broadcast_one_to_all(bits), np.uint8)
+    return str(uuid.UUID(bytes=bits.tobytes()))
+
+
+_replicate_jit_cache: dict = {}
+
+
+def host_fetchable(mesh, *arrays):
+    """Make jit outputs host-readable on multi-process meshes.
+
+    np.asarray / device_get on an array whose shards span other processes
+    raises; this reshards such arrays to fully-replicated (one jitted
+    identity per mesh, executed as an SPMD all-gather by every process —
+    payloads here are the tiny evaluator outputs, so the collective is
+    noise). Single-process (including the 8-virtual-device CPU test mesh
+    and the single-chip TPU tunnel): returns the inputs untouched.
+
+    Note on the H2D direction: no per-process slicing helper is needed —
+    `jax.device_put(host_array, cross_process_sharding)` is the supported
+    global placement path (every process passes the same host value and
+    uploads only its addressable shards), so Trainer._put works unchanged
+    on multi-host meshes.
+    """
+    import jax
+
+    if jax.process_count() == 1 or mesh is None:
+        return arrays
+    fn = _replicate_jit_cache.get(id(mesh))
+    if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        fn = jax.jit(lambda x: x, out_shardings=rep)
+        _replicate_jit_cache[id(mesh)] = fn
+    return tuple(
+        a if getattr(a, "is_fully_addressable", True) else fn(a)
+        for a in arrays
+    )

@@ -162,6 +162,15 @@ class EvaluatorWithLMDecoder(DefaultEvaluator):
     list[str]; runs host-side (native beam search / n-gram LM). Only invoked
     when mode == "test" and lm_decode_test_predictions is set, matching the
     reference's cost placement.
+
+    Decodes are submitted to a bounded worker pool and resolved in
+    evaluate(): on multi-core hosts, batch b's beam search runs while
+    batch b+1 is being fetched and greedy-decoded, instead of serializing
+    one 2-3 s decode per batch on the tracking thread (the reference
+    serializes this, ref evaluator.py:189-210; the native decoder releases
+    the GIL, so the pool gives real CPU parallelism). Metrics and stored
+    predictions are identical — they are patched into the same history
+    entries before aggregation.
     """
 
     def __init__(
@@ -172,12 +181,60 @@ class EvaluatorWithLMDecoder(DefaultEvaluator):
         track_non_test_predictions: bool = False,
         lm_decode_test_predictions: bool = False,
         crop_lens: bool = False,
+        lm_decode_workers: int = 0,
     ):
         super().__init__(tokenizer, mode, track_non_test_predictions, crop_lens)
         self.lm_decoder = (
             lm_decoder if (lm_decode_test_predictions and mode == "test") else None
         )
         self.lm_decoded_batches: List[List[str]] = []
+        self._lm_workers = lm_decode_workers
+        self._lm_pool = None
+        # (future, MetricEntry, stored-dict-or-None, label_strings)
+        self._lm_pending: List[tuple] = []
+
+    def _submit_lm_decode(self, logits, logit_lens):
+        if self._lm_pool is None:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            w = self._lm_workers or min(4, os.cpu_count() or 1)
+            self._lm_pool = ThreadPoolExecutor(
+                max_workers=w, thread_name_prefix="lm-decode"
+            )
+        # backpressure: bound held logits to ~2 batches per worker
+        while len(self._lm_pending) >= 2 * self._lm_pool._max_workers:
+            self._resolve_lm(self._lm_pending.pop(0))
+        return self._lm_pool.submit(
+            self.lm_decoder, np.asarray(logits), np.asarray(logit_lens)
+        )
+
+    def _resolve_lm(self, pending):
+        fut, entry, stored, label_strings = pending
+        lm_decoded = fut.result()
+        lm_metrics = {
+            "word_error_rate_lm_decode": word_error_rate(
+                lm_decoded, label_strings
+            ),
+            "char_error_rate_lm_decode": char_error_rate(
+                lm_decoded, label_strings
+            ),
+        }
+        entry.metrics.update(lm_metrics)
+        # the history's running total accumulated this entry at add time,
+        # BEFORE the decode finished — fold the late metrics in with the
+        # same +=/assign semantics MetricEntry.__iadd__ uses
+        total = self.history._total.metrics
+        for k, v in lm_metrics.items():
+            if k in total and total[k] is not None:
+                total[k] += v
+            else:
+                total[k] = v
+        if stored is not None:
+            # the reference's EnhancedDecodedBatch.predictions_lm_decoded
+            # (evaluator.py:210) — serialized into the predictions JSON
+            stored["predictions_lm_decoded"] = lm_decoded
+        self.lm_decoded_batches.append(lm_decoded)
 
     def _track_batch(self, predictions, batch):
         predicted_strings, label_strings = self.decode_predictions(predictions, batch)
@@ -185,7 +242,7 @@ class EvaluatorWithLMDecoder(DefaultEvaluator):
 
         metrics = dict(predictions.get("metrics") or {})
         decoded = DecodedPredictionBatch(predicted_strings, label_strings)
-        lm_decoded: Optional[List[str]] = None
+        lm_future = None
 
         if label_strings is not None:
             metrics["word_error_rate"] = word_error_rate(
@@ -195,15 +252,8 @@ class EvaluatorWithLMDecoder(DefaultEvaluator):
                 assert "logits" in predictions, (
                     "LM decode requires logits in the predictions dict"
                 )
-                lm_decoded = self.lm_decoder(
-                    np.asarray(predictions["logits"]),
-                    np.asarray(predictions["logit_lens"]),
-                )
-                metrics["word_error_rate_lm_decode"] = word_error_rate(
-                    lm_decoded, label_strings
-                )
-                metrics["char_error_rate_lm_decode"] = char_error_rate(
-                    lm_decoded, label_strings
+                lm_future = self._submit_lm_decode(
+                    predictions["logits"], predictions["logit_lens"]
                 )
             cer = char_error_rate(predicted_strings, label_strings)
             if not isnan(cer):
@@ -212,15 +262,24 @@ class EvaluatorWithLMDecoder(DefaultEvaluator):
         stored = None
         if self.mode == "test" or self.track_non_test_predictions:
             stored = decoded._asdict()
-            if lm_decoded is not None:
-                # the reference's EnhancedDecodedBatch.predictions_lm_decoded
-                # (evaluator.py:210) — serialized into the predictions JSON
-                stored["predictions_lm_decoded"] = lm_decoded
-        self.history.add_batch_metric(
-            MetricEntry(metrics, float(predictions["loss"])), stored
-        )
-        if lm_decoded is not None:
-            self.lm_decoded_batches.append(lm_decoded)
+        entry = MetricEntry(metrics, float(predictions["loss"]))
+        self.history.add_batch_metric(entry, stored)
+        if lm_future is not None:
+            self._lm_pending.append((lm_future, entry, stored, label_strings))
+
+    def evaluate(self) -> SingleEpochHistory:
+        # drain outstanding decodes IN ORDER before aggregation: the lm
+        # metrics land in the exact entries their batches created
+        for pending in self._lm_pending:
+            self._resolve_lm(pending)
+        self._lm_pending = []
+        return self.history
+
+    def clean_up(self):
+        if self._lm_pool is not None:
+            self._lm_pool.shutdown(wait=False)
+            self._lm_pool = None
+        super().clean_up()
 
 
 class B2PEvaluator(Evaluator):

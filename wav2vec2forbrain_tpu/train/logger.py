@@ -84,6 +84,12 @@ def make_logger(
     wandb_entity: Optional[str] = None,
     experiment_name: str = "experiment",
 ) -> MultiLogger:
+    from wav2vec2forbrain_tpu.parallel.distributed import is_coordinator
+
+    if not is_coordinator():
+        # multi-host: every process computes identical metrics; only the
+        # coordinator writes them (one metrics.jsonl, one wandb run)
+        return MultiLogger()
     loggers = [JsonlLogger(results_dir, run_config)]
     if use_wandb:
         try:

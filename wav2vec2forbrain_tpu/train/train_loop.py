@@ -36,6 +36,11 @@ def jnp_asarray_rng(a):
     return jnp.asarray(np.asarray(a, dtype=np.uint32))
 
 from wav2vec2forbrain_tpu.data.batch import B2tBatch
+from wav2vec2forbrain_tpu.parallel.distributed import (
+    barrier,
+    host_fetchable,
+    is_coordinator,
+)
 from wav2vec2forbrain_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from wav2vec2forbrain_tpu.train.history import (
     EpochLosses,
@@ -263,6 +268,29 @@ class Trainer:
         self.n_chips = (
             self.mesh.devices.size if self.mesh is not None else 1
         )
+        # multi-process (multi-host) runs: evaluator payloads must be
+        # resharded to replicated before the host can read them, and file
+        # writes happen on the coordinator only
+        self._n_proc = jax.process_count()
+
+    def _host_payload(self, *arrays):
+        """Reshard step outputs so np.asarray works on every process
+        (no-op single-process — the common case, incl. the single-chip
+        tunnel and the CPU test mesh)."""
+        if self._n_proc == 1:
+            return arrays
+        return host_fetchable(self.mesh, *arrays)
+
+    def _host_tree(self, tree):
+        """device_get that first replicates non-addressable leaves (ZeRO-1
+        data-scattered opt state, cross-host tp params): device_get on an
+        array spanning other processes raises. Must be called by EVERY
+        process (the reshard is a collective); file writes downstream are
+        coordinator-guarded separately."""
+        leaves, td = jax.tree_util.tree_flatten(tree)
+        if self._n_proc > 1:
+            leaves = list(host_fetchable(self.mesh, *leaves))
+        return jax.device_get(jax.tree_util.tree_unflatten(td, leaves))
 
     # --- helpers ------------------------------------------------------------
 
@@ -382,6 +410,9 @@ class Trainer:
             self.rng = out.rng
             self.samples_seen += true_b
             epoch_samples += true_b
+            if self._n_proc > 1:
+                p_, l_ = self._host_payload(out.pred_ids, out.logit_lens)
+                out = out._replace(pred_ids=p_, logit_lens=l_)
             # start the D2H of this step's tiny outputs now, so the lag-1
             # fetch below never pays transfer latency serially (it matters
             # a lot on remote-attached TPUs where each fetch is an RTT).
@@ -503,6 +534,9 @@ class Trainer:
             self.model_state = mo.model_state
             self.rng = mo.rng
             n_new = sum(r[2] for r in chunk[:n_real])
+            if self._n_proc > 1:
+                p_, l_ = self._host_payload(mo.pred_ids, mo.logit_lens)
+                mo = mo._replace(pred_ids=p_, logit_lens=l_)
             _copy_to_host_async(
                 mo.loss,
                 mo.pred_ids,
@@ -568,6 +602,11 @@ class Trainer:
                 self.trainable, self.frozen, self.model_state, batch
             )
             loss_o, logits_o, lens_o, pred_o, metrics_o = outs
+            if self._n_proc > 1:
+                logits_o, lens_o, pred_o = self._host_payload(
+                    logits_o, lens_o, pred_o
+                )
+                outs = (loss_o, logits_o, lens_o, pred_o, metrics_o)
             _copy_to_host_async(
                 loss_o,
                 lens_o,
@@ -654,6 +693,9 @@ class Trainer:
                 valid,
                 width,
             )
+            if self._n_proc > 1:
+                l_, ll_, pp_ = self._host_payload(ys[0], ys[1], ys[2])
+                ys = (l_, ll_, pp_, ys[3])
             _copy_to_host_async(*jax.tree_util.tree_leaves(ys))
             if pending is not None:
                 process_chunk(*pending)
@@ -682,21 +724,30 @@ class Trainer:
         from flax import serialization
 
         path = self._train_state_path()
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        opt_leaves, _ = jax.tree_util.tree_flatten(jax.device_get(self.opt_state))
+        # the gathers run on EVERY process (_host_tree replicates ZeRO-1's
+        # data-scattered opt state before device_get — a collective); only
+        # the coordinator then writes
+        opt_leaves, _ = jax.tree_util.tree_flatten(
+            self._host_tree(self.opt_state)
+        )
         bundle = {
             "params": serialization.to_state_dict(
                 merge_params(
-                    jax.device_get(self.trainable), jax.device_get(self.frozen)
+                    self._host_tree(self.trainable),
+                    self._host_tree(self.frozen),
                 )
             ),
             "state": serialization.to_state_dict(
-                jax.device_get(self.model_state)
+                self._host_tree(self.model_state)
             ),
             "opt_leaves": {str(i): np.asarray(l) for i, l in enumerate(opt_leaves)},
             "rng": np.asarray(jax.device_get(self.rng)),
             "epoch": epoch,
         }
+        if not is_coordinator():
+            barrier("train-state-save")
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(serialization.msgpack_serialize(bundle))
@@ -706,6 +757,7 @@ class Trainer:
             json.dump(
                 TrainHistory(history, SingleEpochHistory()).to_dict(), f
             )
+        barrier("train-state-save")
 
     def restore_train_state(self, path: str):
         """Returns (next_epoch, history). Restores params, optimizer moments,
@@ -748,8 +800,16 @@ class Trainer:
         return int(bundle["epoch"]) + 1, history
 
     def _save_model(self, path: str):
-        params = merge_params(jax.device_get(self.trainable), jax.device_get(self.frozen))
-        save_checkpoint(path, params, jax.device_get(self.model_state))
+        # gather on all processes (collective for cross-host shardings),
+        # write on the coordinator, then barrier so a subsequent
+        # _load_model on any process sees the finished file
+        params = merge_params(
+            self._host_tree(self.trainable), self._host_tree(self.frozen)
+        )
+        state = self._host_tree(self.model_state)
+        if is_coordinator():
+            save_checkpoint(path, params, state)
+        barrier("best-model-save")
 
     def _load_model(self, path: str):
         from wav2vec2forbrain_tpu.train.steps import partition_params
@@ -784,13 +844,16 @@ class Trainer:
         best_metric = float(
             "inf" if self.config.minimize_best_model_metric else "-inf"
         )
+        from wav2vec2forbrain_tpu.parallel.distributed import shared_uuid
+
         best_model_path = os.path.join(
             self.yaml_config.cache_dir,
             "model_checkpoints",
-            str(uuid.uuid4()),
+            shared_uuid(),  # process-agreed: all processes read it back
             "best_model.msgpack",
         )
-        os.makedirs(os.path.dirname(best_model_path), exist_ok=True)
+        if is_coordinator():
+            os.makedirs(os.path.dirname(best_model_path), exist_ok=True)
         saved_best = False
 
         def get_relevant_metric(epoch_hist: SingleEpochHistory):
@@ -871,8 +934,10 @@ class Trainer:
 
         if self.config.return_best_model and saved_best:
             self._load_model(best_model_path)
-            os.remove(best_model_path)
-            os.rmdir(os.path.dirname(best_model_path))
+            barrier("best-model-load")  # all processes done reading
+            if is_coordinator():
+                os.remove(best_model_path)
+                os.rmdir(os.path.dirname(best_model_path))
             print(
                 "Loaded model with best validation loss of this experiment from disk"
             )
