@@ -132,7 +132,11 @@ def _bench_configs(on_accel, family):
     elif on_accel:  # fft-sweep wav2vec2-base full-fine-tune shape
         gen = dict(
             session_names=sessionNames[:4],
-            n_trials=300,
+            # 600 trials/session -> 1920 train sentences -> 30 batches of 64
+            # per epoch: the real fft sweep runs ~8800 sentences (137
+            # batches), so a 15-batch epoch would overweight the fixed
+            # per-epoch dispatch+fetch cost ~9x vs reality
+            n_trials=600,
             n_blocks=5,
             test_dir_n_trials=8,
             min_frames=280,

@@ -152,7 +152,7 @@ def test_remat_policies_identical_numerics():
     # NB: remat changes what the backward recomputes, which can change XLA
     # fusion/accumulation order — closeness, not bit-equality, is the contract
     ref_l = jax.value_and_grad(lambda q: loss(q, "min"))(ps)
-    for policy in ("dots", "dots_nowide", "none"):
+    for policy in ("dots", "dots_nowide", "blocks", "all_but_wide", "none"):
         l2 = jax.value_and_grad(lambda q: loss(q, policy))(ps)
         np.testing.assert_allclose(
             float(ref_l[0]), float(l2[0]), rtol=1e-5

@@ -63,7 +63,7 @@ def main():
     ap.add_argument(
         "--remat",
         default="min",
-        choices=["min", "dots", "dots_nowide", "none"],
+        choices=["min", "dots", "dots_nowide", "blocks", "all_but_wide", "none"],
     )
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=384)

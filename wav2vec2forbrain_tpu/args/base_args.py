@@ -362,19 +362,21 @@ class BaseExperimentArgsModel(BaseModel):
             "of the z-scored features. float32 = exact reference numerics"
         ),
     )
-    remat_policy: Literal["auto", "min", "dots", "dots_nowide", "none"] = Field(
+    remat_policy: Literal["auto", "min", "dots", "dots_nowide", "blocks", "all_but_wide", "none"] = Field(
         "auto",
         description=(
             "Rematerialization policy for the scanned encoder layer loop: "
-            "'auto' (default) picks 'dots_nowide' when an AOT memory "
-            "analysis of the candidate program says it fits HBM next to "
-            "the resident params/optimizer/dataset-cache buffers, else "
+            "'auto' (default) picks the fastest of 'blocks' then "
+            "'dots_nowide' whose AOT memory analysis says it fits HBM next "
+            "to the resident params/optimizer/dataset-cache buffers, else "
             "'min' ('min' always, off-accelerator); "
             "'min' saves only non-batch matmul outputs (lowest memory), "
-            "'dots' saves every matmul output (fewest backward recomputes, "
-            "largest memory), 'dots_nowide' additionally recomputes only "
-            "the wide FFN intermediates, 'none' disables remat entirely "
-            "(scan saves all per-iteration residuals)"
+            "'dots' saves every matmul output, 'dots_nowide' is 'dots' "
+            "minus the wide FFN intermediates, 'blocks' saves only the "
+            "named block-boundary tensors in the activation-stream dtype "
+            "and recomputes the glue, 'all_but_wide' saves everything "
+            "except the wide FFN tensors (small shapes only), 'none' "
+            "disables remat entirely (scan saves all residuals)"
         ),
     )
     checkpoint_every_n_epochs: Optional[int] = Field(

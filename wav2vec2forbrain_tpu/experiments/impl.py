@@ -442,32 +442,35 @@ class B2TGruW2VExperimentBase:
         expect the default."""
         if jax.devices()[0].platform not in ("tpu", "gpu"):
             return "min"
-        try:
-            lowered = self._lower_train_step(
-                make_spec(True, remat="dots_nowide")
-            )
-            if lowered is None:
-                return "min"
-            lowered, live = lowered
-            compiled = lowered.compile()
-            temps = int(compiled.memory_analysis().temp_size_in_bytes)
-            limit = self._hbm_bytes_limit()
-            need = live + temps + self._estimate_device_cache_bytes()
-            ok = need <= self._REMAT_HBM_MARGIN * limit
-            if ok:
-                # the cache-budget probe asks for the chosen program's
-                # footprint next; spare it the identical compile
-                self._remat_probe_mem = ("dots_nowide", live, temps)
-            print(
-                "remat_policy=auto: "
-                f"{'dots_nowide' if ok else 'min'} "
-                f"(live+temps {need / 2**30:.2f}G vs "
-                f"{self._REMAT_HBM_MARGIN:.0%} of {limit / 2**30:.2f}G HBM)"
-            )
-            return "dots_nowide" if ok else "min"
-        except Exception as e:  # noqa: BLE001 — chooser is best-effort
-            print(f"remat_policy=auto: min (probe failed: {e})")
-            return "min"
+        # fastest-first; fall through to the next candidate when the AOT
+        # memory analysis says a policy does not fit HBM
+        for candidate in ("blocks", "dots_nowide"):
+            try:
+                lowered = self._lower_train_step(
+                    make_spec(True, remat=candidate)
+                )
+                if lowered is None:
+                    return "min"
+                lowered, live = lowered
+                compiled = lowered.compile()
+                temps = int(compiled.memory_analysis().temp_size_in_bytes)
+                limit = self._hbm_bytes_limit()
+                need = live + temps + self._estimate_device_cache_bytes()
+                ok = need <= self._REMAT_HBM_MARGIN * limit
+                print(
+                    "remat_policy=auto: "
+                    f"{candidate if ok else 'next candidate'} "
+                    f"(live+temps {need / 2**30:.2f}G vs "
+                    f"{self._REMAT_HBM_MARGIN:.0%} of {limit / 2**30:.2f}G HBM)"
+                )
+                if ok:
+                    # the cache-budget probe asks for the chosen program's
+                    # footprint next; spare it the identical compile
+                    self._remat_probe_mem = (candidate, live, temps)
+                    return candidate
+            except Exception as e:  # noqa: BLE001 — chooser is best-effort
+                print(f"remat_policy=auto: probe for {candidate} failed: {e}")
+        return "min"
 
     @staticmethod
     def _hbm_bytes_limit() -> int:

@@ -218,14 +218,21 @@ def _apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, num_heads:
 
 
 def conformer_feed_forward(p, x, cfg, rng, train, compute_dtype):
+    from jax.ad_checkpoint import checkpoint_name
+
     sd = x.dtype  # activation-stream dtype: blocks emit what they receive
     act = ACT2FN[cfg.hidden_act]
     y = apply_linear(p["intermediate_dense"], x, compute_dtype, out_dtype=sd)
-    y = act(y)
+    # name every (B, T, intermediate)-wide tensor for the 'all_but_wide'
+    # remat policy (see wav2vec2.remat_layer_fn): everything else is saved,
+    # only these are recomputed in the backward
+    y = checkpoint_name(y, "ffn_wide")
+    y = checkpoint_name(act(y), "ffn_wide")
     rng, y = _dropout(rng, y, cfg.activation_dropout, train)
+    y = checkpoint_name(y, "ffn_wide")
     y = apply_linear(p["output_dense"], y, compute_dtype, out_dtype=sd)
     rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
-    return y, rng
+    return checkpoint_name(y, "blk"), rng
 
 
 def conformer_self_attention(
@@ -237,17 +244,23 @@ def conformer_self_attention(
     head = h // heads
     cd = compute_dtype or x.dtype
 
+    from jax.ad_checkpoint import checkpoint_name
+
     sd = x.dtype
     qk_states = _apply_rotary(x, cos, sin, heads)
-    q = apply_linear(p["linear_q"], qk_states, cd, out_dtype=sd).reshape(
-        b, t, heads, head
-    )
-    k = apply_linear(p["linear_k"], qk_states, cd, out_dtype=sd).reshape(
-        b, t, heads, head
-    )
-    v = apply_linear(p["linear_v"], x, cd, out_dtype=sd).reshape(
-        b, t, heads, head
-    )
+    # "blk" marks the block-boundary tensors the 'blocks' remat policy
+    # saves (activation-stream dtype, so bf16 under --activation_dtype):
+    # q/k/v feed the attention custom-VJP (which keeps its own residuals),
+    # everything else in the layer is recomputed from them + the layer input
+    q = checkpoint_name(
+        apply_linear(p["linear_q"], qk_states, cd, out_dtype=sd), "blk"
+    ).reshape(b, t, heads, head)
+    k = checkpoint_name(
+        apply_linear(p["linear_k"], qk_states, cd, out_dtype=sd), "blk"
+    ).reshape(b, t, heads, head)
+    v = checkpoint_name(
+        apply_linear(p["linear_v"], x, cd, out_dtype=sd), "blk"
+    ).reshape(b, t, heads, head)
 
     q = jnp.transpose(q, (0, 2, 1, 3))
     k = jnp.transpose(k, (0, 2, 1, 3))
@@ -281,7 +294,13 @@ def conformer_self_attention(
             preferred_element_type=jnp.float32,
         )
     ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h)
-    return apply_linear(p["linear_out"], ctx, cd, out_dtype=sd), rng
+    ctx = checkpoint_name(ctx, "blk")
+    return (
+        checkpoint_name(
+            apply_linear(p["linear_out"], ctx, cd, out_dtype=sd), "blk"
+        ),
+        rng,
+    )
 
 
 def _batch_norm(
@@ -318,6 +337,8 @@ def conformer_conv_module(
     p, state, x, cfg: ConformerEncoderConfig, rng, train, compute_dtype,
     use_pallas: bool = False,
 ):
+    from jax.ad_checkpoint import checkpoint_name
+
     cd = compute_dtype or x.dtype
     sd = x.dtype
     y = _layer_norm_routed(p["layer_norm"], x, cfg.layer_norm_eps, use_pallas)
@@ -326,6 +347,10 @@ def conformer_conv_module(
         y.astype(cd), p["pointwise_conv1"]["kernel"].astype(cd),
         preferred_element_type=jnp.float32,
     )
+    # the conv module's (B,T,2C) f32 and (B,T,C) f32 tensors are the other
+    # big per-layer activations; name them so 'all_but_wide' recomputes the
+    # conv path instead of saving ~1.1 GB of f32 stacks across 24 layers
+    y = checkpoint_name(y, "ffn_wide")
     from wav2vec2forbrain_tpu.ops.select import kernel_enabled
 
     if kernel_enabled("conv_glu", use_pallas, sd):
@@ -352,20 +377,25 @@ def conformer_conv_module(
             dimension_numbers=("NTC", "TIO", "NTC"),
             feature_group_count=cfg.hidden_size,
         ).astype(jnp.float32)
+    y = checkpoint_name(y, "ffn_wide")  # dwconv output, f32 (B,T,C)
     y, new_bn = _batch_norm(p["batch_norm"], state["batch_norm"], y, cfg, train)
+    y = checkpoint_name(y, "ffn_wide")  # BN output, f32 (B,T,C)
     y = ACT2FN[cfg.hidden_act](y.astype(sd))
     y = jnp.dot(
         y.astype(cd), p["pointwise_conv2"]["kernel"].astype(cd),
         preferred_element_type=jnp.float32,
     ).astype(sd)
     rng, y = _dropout(rng, y, cfg.conformer_conv_dropout, train)
-    return y, {"batch_norm": new_bn}, rng
+    return checkpoint_name(y, "blk"), {"batch_norm": new_bn}, rng
 
 
 def conformer_layer(
     p, state, x, cfg: ConformerEncoderConfig, cos, sin, rng, train,
     compute_dtype, use_pallas=False,
 ):
+    # (LN outputs measured as NOT worth 'blocks'-saving: 144.97 vs
+    # 144.26 ms with them named — norm recompute is free next to the
+    # saved-stack HBM traffic, so they stay unnamed for memory headroom)
     # FFN1 (half-step)
     residual = x
     y = _layer_norm_routed(p["ffn1_layer_norm"], x, cfg.layer_norm_eps, use_pallas)

@@ -237,10 +237,18 @@ def attention(
     head_dim = h // num_heads
     cd = compute_dtype or x.dtype
 
+    from jax.ad_checkpoint import checkpoint_name
+
     sd = x.dtype
-    q = apply_linear(p["q_proj"], x, cd, out_dtype=sd) * (head_dim**-0.5)
-    k = apply_linear(p["k_proj"], x, cd, out_dtype=sd)
-    v = apply_linear(p["v_proj"], x, cd, out_dtype=sd)
+    # "blk": block-boundary saves for the 'blocks' remat policy (see
+    # remat_layer_fn) — q/k/v feed the attention custom-VJP, the rest of
+    # the layer recomputes from them + the layer input
+    q = checkpoint_name(
+        apply_linear(p["q_proj"], x, cd, out_dtype=sd) * (head_dim**-0.5),
+        "blk",
+    )
+    k = checkpoint_name(apply_linear(p["k_proj"], x, cd, out_dtype=sd), "blk")
+    v = checkpoint_name(apply_linear(p["v_proj"], x, cd, out_dtype=sd), "blk")
 
     def split_heads(a):
         return jnp.transpose(a.reshape(b, t, num_heads, head_dim), (0, 2, 1, 3))
@@ -269,8 +277,13 @@ def attention(
             v.astype(cd),
             preferred_element_type=jnp.float32,
         )
-    ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h)
-    return apply_linear(p["out_proj"], ctx, cd, out_dtype=sd), rng
+    ctx = checkpoint_name(
+        jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h), "blk"
+    )
+    return (
+        checkpoint_name(apply_linear(p["out_proj"], ctx, cd, out_dtype=sd), "blk"),
+        rng,
+    )
 
 
 def feed_forward(
@@ -281,14 +294,21 @@ def feed_forward(
     train: bool = False,
     compute_dtype=None,
 ):
+    from jax.ad_checkpoint import checkpoint_name
+
     sd = x.dtype  # activation-stream dtype: blocks emit what they receive
     act = ACT2FN[cfg.hidden_act]
     y = apply_linear(p["intermediate_dense"], x, compute_dtype, out_dtype=sd)
-    y = act(y)
+    # name every (B, T, intermediate)-wide tensor: the 'all_but_wide' remat
+    # policy saves ALL other intermediates and recomputes only these (they
+    # dominate per-layer activation memory ~4:1)
+    y = checkpoint_name(y, "ffn_wide")
+    y = checkpoint_name(act(y), "ffn_wide")
     rng, y = _dropout(rng, y, cfg.activation_dropout, train)
+    y = checkpoint_name(y, "ffn_wide")
     y = apply_linear(p["output_dense"], y, compute_dtype, out_dtype=sd)
     rng, y = _dropout(rng, y, cfg.hidden_dropout, train)
-    return y, rng
+    return checkpoint_name(y, "blk"), rng
 
 
 def encoder_layer(
@@ -395,14 +415,23 @@ def remat_layer_fn(fn, policy_name: str, wide_dim: int = 4096):
     always fits; 'dots' keeps every matmul output (fewest backward
     recomputes, ~60M over v5e HBM at the headline batch even with the Pallas
     attention kernel's savings); 'dots_nowide' is 'dots' minus the (B,T,wide_dim)
-    FFN intermediates (wide_dim = the config's intermediate_size) — the
-    measured sweet spot; 'none' disables remat (scan
-    saves all per-iteration residuals — small configs only)."""
+    FFN intermediates (wide_dim = the config's intermediate_size);
+    'blocks' saves ONLY the checkpoint_name'd block-boundary tensors
+    (q/k/v, attention/ffn/conv outputs — activation-stream dtype, so bf16
+    under --activation_dtype, where dots policies pin f32 pre-cast matmul
+    outputs) and recomputes the glue between them; 'all_but_wide' saves
+    EVERY intermediate except the (B,T,wide) 'ffn_wide'-named FFN tensors
+    (fits only small shapes); 'none' disables remat (scan saves all
+    per-iteration residuals — small configs only)."""
     if policy_name == "none":
         return fn
     policy = {
         "dots": jax.checkpoint_policies.dots_saveable,
         "dots_nowide": _dots_nowide_policy(wide_dim),
+        "blocks": jax.checkpoint_policies.save_only_these_names("blk"),
+        "all_but_wide": jax.checkpoint_policies.save_anything_except_these_names(
+            "ffn_wide"
+        ),
         "min": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
     }[policy_name]
     return jax.checkpoint(fn, policy=policy)
