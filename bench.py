@@ -231,8 +231,10 @@ def _make_experiment(tmp, on_accel, family, **overrides):
         store_final_model=False,
         use_wandb=False,
         seed=0,
-        **run_cfg,
     )
+    # update (not **splat): run_cfg may legitimately override the defaults
+    # above (e.g. conformer_long pins scan_layers=True)
+    config.update(run_cfg)
     config.update(overrides)
     exp_cls = (
         impl.B2TGruAndW2VConformerExperiment
@@ -328,7 +330,9 @@ def _reset_device_state(exp):
     exp._init_rng = jax.random.PRNGKey(exp.base_config.seed)
     exp._build_model()
     exp.opt_state = exp.shard_params(jax.jit(exp.tx.init)(exp.trainable))
-    exp.step_rng = jax.random.PRNGKey(exp.base_config.seed + 1)
+    exp.step_rng = exp.canonical_rng(
+        jax.random.PRNGKey(exp.base_config.seed + 1)
+    )
 
 
 def bench_long(tmp, on_accel):

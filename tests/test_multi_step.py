@@ -144,3 +144,21 @@ def test_auto_resolution(tmp_path, synthetic_splits_dir, tiny_encoders):  # noqa
         update={"multi_step_chunk": "off"}
     )
     assert exp.resolve_multi_step_chunk() == 0
+
+
+def test_no_epoch2_retrace(tmp_path, synthetic_splits_dir, tiny_encoders):  # noqa: F811
+    """The chunk program compiles ONCE for the whole run: epoch 2 must reuse
+    epoch 1's executable. Regression for the rng sharding-type churn where a
+    fresh `jax.random.PRNGKey` (`u32[4]({})`) compiled the first epoch and
+    the step's mesh-typed output key recompiled everything in epoch 2 —
+    ~2 min of silent recompile per run at the real conformer shape
+    (canonical_rng in experiments/impl.py is the fix)."""
+    yaml_cfg = tiny_yaml_config(tmp_path, synthetic_splits_dir)
+    cfg = base_config(device_data_cache="on", multi_step_chunk=2, epochs=3)
+    exp = impl.B2TGruAndW2VExperiment(cfg, yaml_cfg)
+    exp.run()
+    # one width bucket -> exactly one traced signature across all epochs
+    assert exp.get_multi_step()._cache_size() == 1
+    # multi_eval legitimately traces twice: the val and test device caches
+    # are different sizes, so their cache_arrays shapes differ
+    assert exp.get_multi_eval()._cache_size() == 2

@@ -170,7 +170,9 @@ class B2TGruW2VExperimentBase:
                 except Exception:
                     print("Failed to load history from checkpoint")
 
-        self.step_rng = jax.random.PRNGKey(self.base_config.seed + 1)
+        self.step_rng = self.canonical_rng(
+            jax.random.PRNGKey(self.base_config.seed + 1)
+        )
         self.logger = None  # created in run()
 
     # --- subclass hooks -----------------------------------------------------
@@ -633,6 +635,22 @@ class B2TGruW2VExperimentBase:
     def shard_params(self, tree):
         shardings = param_shardings(tree, self.mesh)
         return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+    def canonical_rng(self, key):
+        """Place a PRNG key mesh-replicated, matching the sharding TYPE of
+        the step programs' rng OUTPUT. A fresh `jax.random.PRNGKey` is
+        mesh-less (`u32[4]({})`) while the rng threaded out of a jitted step
+        is mesh-typed (`u32[4]({Auto: ('data','model')})`); feeding the
+        fresh key to the first call and the output key to the second gives
+        two different signatures and recompiles the entire step/chunk
+        program (a second ~2-min compile for the unrolled conformer, paid in
+        epoch 2). Canonicalizing at every rng entry point (init, reset,
+        checkpoint restore) makes call 1 and call N identical."""
+        if self.mesh is None:
+            return key
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(key, NamedSharding(self.mesh, PartitionSpec()))
 
     def _zero1_active(self) -> bool:
         return (

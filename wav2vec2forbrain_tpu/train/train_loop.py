@@ -792,7 +792,7 @@ class Trainer:
         self.opt_state = self.experiment.shard_opt_state(
             jax.tree_util.tree_unflatten(treedef, new_leaves)
         )
-        self.rng = jnp_asarray_rng(bundle["rng"])
+        self.rng = self.experiment.canonical_rng(jnp_asarray_rng(bundle["rng"]))
         history = []
         hist_path = os.path.join(os.path.dirname(path), "history.json")
         if os.path.exists(hist_path):
