@@ -319,3 +319,100 @@ def test_greedy_decode_crop_lens_blanks_per_sample_tail():
     parity = DefaultEvaluator(tok, "val")
     dec2, _ = parity.decode_predictions(preds, batch)
     assert dec2[0] == "AT"
+
+
+# --- raw-data EDA (analysis/raw_data_analysis.py) ---------------------------
+
+
+def test_raw_eda_binning_and_correlation():
+    from wav2vec2forbrain_tpu.analysis import raw_data_analysis as eda
+
+    rng = np.random.default_rng(0)
+    t, c = 200, 8
+    base = rng.normal(size=(t, 1))
+    # 8 channels = one shared signal + small noise -> high avg correlation
+    x = base + 0.05 * rng.normal(size=(t, c))
+    binned = eda.bin_time_series(x, 10)
+    assert binned.shape == (20, c)
+    np.testing.assert_allclose(binned[0], x[:10].mean(axis=0))
+    assert eda.avg_correlation(x) > 0.9
+
+    # independent channels -> low correlation
+    y = rng.normal(size=(t, c))
+    assert eda.avg_correlation(y) < 0.5
+
+    # constant channel must not produce NaNs
+    z = y.copy()
+    z[:, 0] = 3.0
+    assert np.isfinite(eda.avg_correlation(z))
+
+
+def test_raw_eda_optimal_window_prefers_signal_scale():
+    from wav2vec2forbrain_tpu.analysis import raw_data_analysis as eda
+
+    rng = np.random.default_rng(1)
+    t, c = 600, 6
+    # shared slow signal: frame-level noise decorrelates channels, so
+    # averaging over larger windows raises cross-channel correlation and
+    # the penalty-free argmax should sit well above the minimum window
+    slow = np.repeat(rng.normal(size=(t // 20, 1)), 20, axis=0)
+    x = slow + 1.5 * rng.normal(size=(t, c))
+    win = eda.optimal_window(x, max_bin_len=60, bin_len_penalty=0.2)
+    assert set(win) >= {"bin_lens", "scores", "best_bin_len"}
+    assert win["best_bin_len_no_penalty"] > 5
+    # penalty can only pull the choice toward shorter windows
+    assert win["best_bin_len"] <= win["best_bin_len_no_penalty"] + 5
+
+
+def test_raw_eda_pca_counts():
+    from wav2vec2forbrain_tpu.analysis import raw_data_analysis as eda
+
+    rng = np.random.default_rng(2)
+    # rank-2 data: 95% of variance within the first 2 components
+    t, c = 300, 10
+    basis = rng.normal(size=(2, c))
+    x = rng.normal(size=(t, 2)) @ basis + 1e-3 * rng.normal(size=(t, c))
+    assert eda.pca_components_for_variance(x, 0.95) <= 2
+    ratios = eda.pca_explained_variance_ratio(x)
+    assert abs(ratios.sum() - 1.0) < 1e-9
+    proj = eda.pca_project(x, 2)
+    assert proj.shape == (t, 2)
+
+
+def test_raw_eda_dataset_summary_and_figures(tmp_path, synthetic_splits_dir):
+    from wav2vec2forbrain_tpu.analysis import raw_data_analysis as eda
+    from wav2vec2forbrain_tpu.args.base_args import B2TDatasetArgsModel
+    from wav2vec2forbrain_tpu.data.dataset import Brain2TextDataset
+
+    ds = Brain2TextDataset(
+        B2TDatasetArgsModel(), synthetic_splits_dir, split="train"
+    )
+    summary = eda.analyze_dataset(ds, max_samples=4, seed=0)
+    assert summary["n_analyzed"] == min(4, len(ds))
+    cmat = summary["channel_correlation"]
+    assert cmat.shape[0] == cmat.shape[1] == summary["channel_stats"]["n_channels"]
+    np.testing.assert_allclose(np.diag(cmat), 1.0)
+    assert summary["channel_stats"]["per_day"]  # grouped by day
+
+    out = eda.summary_json(summary)
+    json.dumps(out)  # must be serializable
+
+    figs = eda.save_figures(summary, str(tmp_path / "figs"))
+    assert len(figs) == 4 and all(os.path.exists(p) for p in figs)
+
+
+def test_raw_eda_cli(tmp_path, synthetic_splits_dir, capsys):
+    from wav2vec2forbrain_tpu.analysis.raw_data_analysis import main
+
+    out = main(
+        [
+            "--dataset_splits_dir",
+            synthetic_splits_dir,
+            "--max_samples",
+            "3",
+            "--fig_dir",
+            str(tmp_path / "figs"),
+        ]
+    )
+    assert out["n_analyzed"] >= 1
+    assert os.path.exists(tmp_path / "figs" / "raw_data_summary.json")

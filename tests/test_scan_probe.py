@@ -35,7 +35,7 @@ yaml_cfg = YamlConfigModel(
 )
 
 
-def make_exp(scan_layers):
+def make_exp(scan_layers, **extra):
     cfg = dict(
         experiment_type="b2p2t_gru+w2v",
         batch_size=2,
@@ -50,7 +50,13 @@ def make_exp(scan_layers):
         target_pad_to_multiple=32,
         scan_layers=scan_layers,
     )
+    cfg.update(extra)
     return impl.B2TGruAndW2VExperiment(cfg, yaml_cfg)
+
+
+# force the chunked-Trainer path on CPU (where auto resolves both off):
+# the probe must then lower the K-step chunk program, not the single step
+CHUNKED = dict(multi_step_chunk="4", device_data_cache="on")
 """
 
 _WARM = _COMMON + r"""
@@ -72,6 +78,25 @@ print("WARMED")
 
 _PROBE = _COMMON + r"""
 exp = make_exp(scan_layers="auto")
+print("RESOLVED_SCAN", exp.spec.scan_layers)
+"""
+
+_WARM_CHUNKED = _COMMON + r"""
+import jax
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+exp = make_exp(scan_layers=False, **CHUNKED)
+from wav2vec2forbrain_tpu.train.train_loop import Trainer
+tr = Trainer(exp)
+assert tr._multi_step_k >= 2 and tr._cache_by_loader, "chunking inactive?"
+# one real chunked train epoch: compiles (and persists) the Trainer's
+# actual (K, width) multi-step program
+tr._train_epoch(exp.dataloader_train, 0)
+print("WARMED_CHUNKED")
+"""
+
+_PROBE_CHUNKED = _COMMON + r"""
+exp = make_exp(scan_layers="auto", **CHUNKED)
+assert exp._trainer_would_chunk(), "probe must target the chunk program"
 print("RESOLVED_SCAN", exp.spec.scan_layers)
 """
 
@@ -121,6 +146,38 @@ def test_auto_unrolls_on_cache_hit_across_processes(tmp_path):
 
     # auto must now detect the hit and pick unrolled
     r_hot = _run(_PROBE, root, cache_dir)
+    assert "RESOLVED_SCAN False" in r_hot.stdout, (
+        r_hot.stdout + r_hot.stderr
+    )
+    assert "already compiled" in r_hot.stdout, r_hot.stdout
+
+
+def test_auto_unrolls_on_chunked_trainer_cache_hit(tmp_path):
+    """Round-4 regression: with --multi_step_chunk + device cache active the
+    Trainer compiles the K-step chunk program (train/steps.build_multi_step),
+    not the single step — the probe must lower THAT program or a warm cache
+    reads as cold. The cross-process hit below proves the probe's lowering
+    and the Trainer's real compile share a persistent-cache key."""
+    from wav2vec2forbrain_tpu.data.synthetic import make_synthetic_splits_dir
+
+    root = str(tmp_path)
+    make_synthetic_splits_dir(
+        os.path.join(root, "t12"), n_trials=8, n_blocks=2, seed=0
+    )
+    cache_dir = os.path.join(root, "xla_cache")
+
+    # cold: stays scanned, probe ran (and targeted the chunk program)
+    r_cold = _run(_PROBE_CHUNKED, root, cache_dir)
+    assert "RESOLVED_SCAN True" in r_cold.stdout, (
+        r_cold.stdout + r_cold.stderr
+    )
+    assert "probe failed" not in r_cold.stdout, r_cold.stdout
+
+    # warm with a REAL chunked Trainer epoch in another process
+    r_warm = _run(_WARM_CHUNKED, root, cache_dir)
+    assert "WARMED_CHUNKED" in r_warm.stdout, r_warm.stdout + r_warm.stderr
+
+    r_hot = _run(_PROBE_CHUNKED, root, cache_dir)
     assert "RESOLVED_SCAN False" in r_hot.stdout, (
         r_hot.stdout + r_hot.stderr
     )

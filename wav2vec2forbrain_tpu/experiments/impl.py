@@ -22,6 +22,7 @@ import os
 import random
 import sys
 from datetime import datetime
+from types import SimpleNamespace
 from typing import Literal
 
 import jax
@@ -88,6 +89,15 @@ def _nu_dtype(cfg):
     if getattr(cfg, "adam_nu_dtype", "float32") == "bfloat16":
         return jnp.bfloat16
     return None
+
+
+def _wire_jnp_dtype(wire: str):
+    """--h2d_dtype -> the on-device feature dtype (batch AND device cache)."""
+    return {
+        "float32": jnp.float32,
+        "float16": jnp.float16,
+        "bfloat16": jnp.bfloat16,
+    }[wire]
 
 
 class B2TGruW2VExperimentBase:
@@ -295,17 +305,109 @@ class B2TGruW2VExperimentBase:
         return not unroll
 
     def _probe_unrolled_cached(self, spec_unrolled) -> bool:
-        """Would the unrolled train step be a persistent-compile-cache hit?
+        """Would the unrolled train program be a persistent-compile-cache
+        hit?
 
-        Rebuilds the EXACT program the Trainer would run — same build_steps
-        jit (donation included), abstract params/opt-state from eval_shape
-        with the mesh shardings attached, and the predicted single-bucket
-        batch shapes — then lowers it and asks the cache (no compilation
-        either way)."""
+        Rebuilds the EXACT program the Trainer would compile FIRST — the
+        K-step chunk program when --multi_step_chunk and the device cache
+        are active (the TPU default), the single-step program otherwise —
+        then lowers it and asks the cache (no compilation either way).
+        Probing the wrong program reads a warm cache as cold: that is how
+        the round-4 chunked Trainer silently broke scan_layers=auto."""
         from wav2vec2forbrain_tpu.util.compile_probe import lowered_is_cached
 
-        lowered = self._lower_train_step(spec_unrolled)
-        return lowered is not None and lowered_is_cached(lowered[0]) is True
+        lowered = self._lower_trainer_program(spec_unrolled)
+        return lowered is not None and lowered_is_cached(lowered) is True
+
+    def _trainer_would_chunk(self) -> bool:
+        """Mirror of the Trainer's chunked-epoch condition WITHOUT building
+        the device cache: chunk size K >= 2 and the train split's cache
+        mode resolves on for this platform (train_loop._train_epoch
+        dispatches chunks only when both hold)."""
+        if self.resolve_multi_step_chunk() < 2:
+            return False
+        mode = getattr(self.base_config, "device_data_cache", "off")
+        if mode == "off":
+            return False
+        if mode == "auto" and jax.devices()[0].platform not in ("tpu", "gpu"):
+            return False
+        return True
+
+    def _lower_trainer_program(self, spec):
+        """Lower the train program the Trainer will actually compile first
+        for `spec` (chunked or single-step), or None when its shapes can't
+        be predicted."""
+        if self._trainer_would_chunk():
+            return self._lower_multi_step(spec, self.resolve_multi_step_chunk())
+        lowered = self._lower_train_step(spec)
+        return None if lowered is None else lowered[0]
+
+    def _lower_multi_step(self, spec, k: int):
+        """Lower the (K, width) train chunk program exactly as the Trainer
+        compiles it (train/steps.py::build_multi_step): same builder jit
+        (donation, static width), the device cache's arrays abstracted at
+        their real shapes with the mesh-replicated placement
+        DeviceDatasetCache.upload gives them, index/mask/valid matrices as
+        the uncommitted host arrays _train_epoch_chunked feeds, and the
+        canonical rng sharding. None when shapes can't be predicted
+        (multi-bucket or multichannel configs compile several programs —
+        stay conservative and let auto keep the scanned encoder)."""
+        cfg = self.base_config
+        if getattr(cfg, "length_buckets", "off") != "off":
+            return None
+        shapes = self._predict_batch_shapes()
+        if shapes is None:
+            return None
+        t_max, u_max, n_ch = shapes
+        n = len(self.dataloader_train.dataset)
+        env = self._abstract_step_env(spec)
+
+        from wav2vec2forbrain_tpu.train.steps import build_multi_step
+
+        multi_step = build_multi_step(
+            spec,
+            env.tlabels,
+            env.tx,
+            self._step_cfg(),
+            state_constraints=self._state_constraints(
+                env.trainable, env.opt_state
+            ),
+            time_axis=self._cache_time_axis(),
+        )
+
+        rep = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+
+        def cache_abs(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=rep)
+
+        wire_dt = _wire_jnp_dtype(getattr(cfg, "h2d_dtype", "float32"))
+        cache_arrays = (
+            cache_abs((n, t_max, n_ch), wire_dt),
+            cache_abs((n, u_max), jnp.int32),
+            cache_abs((n,), jnp.int32),
+            cache_abs((n,), jnp.int32),
+            cache_abs((n,), jnp.int32),
+        )
+        data_axis = self.mesh.shape["data"] if self.mesh is not None else 1
+        b = ((cfg.batch_size + data_axis - 1) // data_axis) * data_axis
+        return multi_step.lower(
+            env.with_shardings(env.trainable),
+            env.with_shardings(env.frozen),
+            env.with_opt_shardings(env.opt_state),
+            env.with_shardings(env.model_state),
+            cache_arrays,
+            jax.ShapeDtypeStruct((k, b), jnp.int32),
+            jax.ShapeDtypeStruct((k, b), jnp.float32),
+            jax.ShapeDtypeStruct((k,), jnp.bool_),
+            self._rng_abstract(),
+            1e-4,
+            1e-5,
+            t_max,
+        )
 
     def _lower_train_step(self, spec):
         """Lower the exact train-step program the Trainer would run for
@@ -323,6 +425,65 @@ class B2TGruW2VExperimentBase:
         t_max, u_max, n_ch = shapes
         from wav2vec2forbrain_tpu.data.batch import B2tBatch
 
+        env = self._abstract_step_env(spec)
+        train_step, _ = build_steps(
+            spec,
+            env.tlabels,
+            env.tx,
+            env.step_cfg,
+            state_constraints=self._state_constraints(
+                env.trainable, env.opt_state
+            ),
+        )
+
+        wire_dt = _wire_jnp_dtype(getattr(cfg, "h2d_dtype", "float32"))
+        # the Trainer pads every batch up to batch_size rounded to the data
+        # axis (train_loop.Trainer._put) — the compiled program's row count
+        data_axis = self.mesh.shape["data"] if self.mesh is not None else 1
+        b = ((cfg.batch_size + data_axis - 1) // data_axis) * data_axis
+        bs = self.batch_sharding_fn
+
+        def batch_abs(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=bs)
+
+        batch = B2tBatch(
+            input=batch_abs((b, t_max, n_ch), wire_dt),
+            target=batch_abs((b, u_max), jnp.int32),
+            day_idxs=batch_abs((b,), jnp.int32),
+            input_lens=batch_abs((b,), jnp.int32),
+            target_lens=batch_abs((b,), jnp.int32),
+            sample_mask=batch_abs((b,), jnp.float32),
+        )
+        rng_abs = self._rng_abstract()
+        lowered = train_step.lower(
+            env.with_shardings(env.trainable),
+            env.with_shardings(env.frozen),
+            env.with_opt_shardings(env.opt_state),
+            env.with_shardings(env.model_state),
+            batch,
+            rng_abs,
+            1e-4,
+            1e-5,
+        )
+
+        def tree_bytes(tree):
+            return sum(
+                int(np.prod(a.shape)) * a.dtype.itemsize
+                for a in jax.tree_util.tree_leaves(tree)
+            )
+
+        live = tree_bytes(
+            (env.trainable, env.frozen, env.opt_state, env.model_state, batch)
+        )
+        return lowered, live
+
+    def _abstract_step_env(self, spec):
+        """Abstract train-state trees (trainable/frozen/opt/model-state via
+        eval_shape — no real allocation), the optimizer, and the
+        sharding-attach helpers the program-lowering probes share. The trees
+        and shardings must match Trainer construction EXACTLY or a lowered
+        probe program keys differently from the real compile."""
+        cfg = self.base_config
         params_abs, state_abs = jax.eval_shape(
             lambda k: init_model_params(k, spec),
             jax.random.PRNGKey(0),
@@ -339,18 +500,6 @@ class B2TGruW2VExperimentBase:
             nu_dtype=_nu_dtype(cfg),
         )
         opt_abs = jax.eval_shape(tx.init, trainable_abs)
-        step_cfg = StepConfig(
-            gradient_clipping=cfg.gradient_clipping,
-            white_noise_sd=cfg.whiteNoiseSD,
-            constant_offset_sd=cfg.constantOffsetSD,
-        )
-        train_step, _ = build_steps(
-            spec,
-            tlabels,
-            tx,
-            step_cfg,
-            state_constraints=self._state_constraints(trainable_abs, opt_abs),
-        )
 
         def _attach(tree, shardings):
             return jax.tree_util.tree_map(
@@ -369,52 +518,17 @@ class B2TGruW2VExperimentBase:
 
             return _attach(tree, opt_state_shardings(tree, self.mesh))
 
-        wire = getattr(cfg, "h2d_dtype", "float32")
-        wire_dt = {
-            "float32": jnp.float32,
-            "float16": jnp.float16,
-            "bfloat16": jnp.bfloat16,
-        }[wire]
-        # the Trainer pads every batch up to batch_size rounded to the data
-        # axis (train_loop.Trainer._put) — the compiled program's row count
-        data_axis = self.mesh.shape["data"] if self.mesh is not None else 1
-        b = ((cfg.batch_size + data_axis - 1) // data_axis) * data_axis
-        bs = self.batch_sharding_fn
-
-        def batch_abs(shape, dtype):
-            return jax.ShapeDtypeStruct(shape, dtype, sharding=bs)
-
-        batch = B2tBatch(
-            input=batch_abs((b, t_max, n_ch), wire_dt),
-            target=batch_abs((b, u_max), jnp.int32),
-            day_idxs=batch_abs((b,), jnp.int32),
-            input_lens=batch_abs((b,), jnp.int32),
-            target_lens=batch_abs((b,), jnp.int32),
-            sample_mask=batch_abs((b,), jnp.float32),
+        return SimpleNamespace(
+            trainable=trainable_abs,
+            frozen=frozen_abs,
+            opt_state=opt_abs,
+            model_state=state_abs,
+            tlabels=tlabels,
+            tx=tx,
+            step_cfg=self._step_cfg(),
+            with_shardings=with_shardings,
+            with_opt_shardings=with_opt_shardings,
         )
-        k = jax.random.PRNGKey(0)  # shape depends on the active PRNG impl
-        rng_abs = jax.ShapeDtypeStruct(k.shape, k.dtype)
-        lowered = train_step.lower(
-            with_shardings(trainable_abs),
-            with_shardings(frozen_abs),
-            with_opt_shardings(opt_abs),
-            with_shardings(state_abs),
-            batch,
-            rng_abs,
-            1e-4,
-            1e-5,
-        )
-
-        def tree_bytes(tree):
-            return sum(
-                int(np.prod(a.shape)) * a.dtype.itemsize
-                for a in jax.tree_util.tree_leaves(tree)
-            )
-
-        live = tree_bytes(
-            (trainable_abs, frozen_abs, opt_abs, state_abs, batch)
-        )
-        return lowered, live
 
     # accept a remat policy only when the resident buffers plus the step's
     # XLA-reported temporaries leave this fraction of HBM free for the eval
@@ -651,6 +765,23 @@ class B2TGruW2VExperimentBase:
         from jax.sharding import NamedSharding, PartitionSpec
 
         return jax.device_put(key, NamedSharding(self.mesh, PartitionSpec()))
+
+    def _rng_abstract(self):
+        """Abstract value of the rng the Trainer feeds its step programs:
+        the active PRNG impl's key shape/dtype WITH canonical_rng's
+        mesh-replicated sharding attached. A sharding-less rng abstract
+        lowers to a different entry-parameter sharding and therefore a
+        different persistent-compile-cache key than the Trainer's real
+        compile — the mismatch that silently broke the scan_layers=auto
+        warm-cache probe when canonical_rng landed."""
+        k = jax.random.PRNGKey(0)
+        if self.mesh is None:
+            return jax.ShapeDtypeStruct(k.shape, k.dtype)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.ShapeDtypeStruct(
+            k.shape, k.dtype, sharding=NamedSharding(self.mesh, PartitionSpec())
+        )
 
     def _zero1_active(self) -> bool:
         return (
