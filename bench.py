@@ -533,6 +533,18 @@ def main():
                 extra["long_seq_per_epoch"] = [
                     round(t, 2) for t in long_epochs
                 ]
+                long_warm = long_epochs[1:] or long_epochs
+                long_spread = (
+                    (max(long_warm) / min(long_warm) - 1.0)
+                    if len(long_warm) > 1
+                    else 0.0
+                )
+                # same contract as the headline family: a >25% spread
+                # between warm epochs means the median hides an outlier
+                # (late recompile / host stall) — never ship it silently
+                # (round 4 shipped a hidden 8x epoch-4 collapse)
+                extra["long_seq_warm_epoch_spread"] = round(long_spread, 3)
+                extra["long_seq_spread_warning"] = long_spread > 0.25
                 extra["long_seq_bucket_widths_frames"] = long_buckets
                 extra["long_seq_run_wall_s"] = round(long_wall, 1)
             except Exception as e:

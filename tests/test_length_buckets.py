@@ -169,6 +169,139 @@ def test_quantile_buckets_transport_parity(
         assert "word_error_rate" in e["val"]["average"]["metrics"]
 
 
+def test_reachable_widths():
+    from wav2vec2forbrain_tpu.train.device_cache import DeviceDatasetCache
+
+    n, t_max = 6, 512
+    cache = DeviceDatasetCache(
+        feats=np.zeros((n, t_max, 4), np.float32),
+        targets=np.zeros((n, 8), np.int32),
+        day_idxs=np.zeros((n,), np.int32),
+        input_lens=np.asarray([100, 130, 260, 300, 400, 512], np.int32),
+        target_lens=np.ones((n,), np.int32),
+    )
+    assert cache.reachable_widths() == [512]  # bucketing off
+    cache.set_buckets([128, 256, 384])
+    # every width some sample's length buckets to — matches width_for
+    assert cache.reachable_widths() == [128, 256, 384, 512]
+    cache.set_buckets([384])  # no sample needs more than 512
+    assert cache.reachable_widths() == [384, 512]
+
+
+def test_precompile_buckets_noop_and_no_midrun_compiles(
+    tmp_path, synthetic_splits_dir_hetero, tiny_encoders  # noqa: F811
+):
+    """--precompile_buckets dispatches all-invalid chunks: (a) training
+    numerics are bit-identical to a run without it, and (b) after the
+    precompile pass, no (train or eval) chunk program compiles mid-run —
+    the round-4 long-seq bench's hidden 8x epoch collapse was exactly a
+    rare small-width batch compiling inside a late epoch."""
+    from wav2vec2forbrain_tpu.train.train_loop import Trainer
+
+    base = _run_history(
+        tmp_path,
+        synthetic_splits_dir_hetero,
+        "np",
+        device_data_cache="on",
+        length_buckets=3,
+        multi_step_chunk=2,
+        precompile_buckets=False,
+    )
+
+    yaml_cfg = tiny_yaml_config(tmp_path / "pc", synthetic_splits_dir_hetero)
+    cfg = base_config(
+        epochs=2,
+        pad_to_multiple=64,
+        device_data_cache="on",
+        length_buckets=3,
+        multi_step_chunk=2,
+        precompile_buckets=True,
+    )
+    exp = impl.B2TGruAndW2VExperiment(cfg, yaml_cfg)
+    from wav2vec2forbrain_tpu.train.logger import make_logger
+
+    exp.logger = make_logger(exp.results_dir, exp.raw_config, False)
+    trainer = Trainer(exp)
+    trainer._precompile_bucket_programs()
+    ms, me = exp.get_multi_step(), exp.get_multi_eval()
+    n_train, n_eval = ms._cache_size(), me._cache_size()
+    assert n_train > 0 and n_eval > 0
+    history = trainer.train()
+    # every width was compiled up front: epochs added no new executables
+    assert ms._cache_size() == n_train
+    assert me._cache_size() == n_eval
+    h = history.to_dict()
+    _assert_histories_match(base, h, rel=1e-6)
+
+
+def test_length_sorted_batches_composition():
+    """--length_sorted_batches: every index appears exactly once, each batch
+    is a run of consecutive length-sorted samples (so its width is its own
+    covering bucket), and only the batch ORDER reshuffles per epoch."""
+    from wav2vec2forbrain_tpu.data.loader import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+    lens = [30, 5, 12, 40, 7, 22, 3, 18, 25, 9]
+    dl = DataLoader(
+        _DS(),
+        batch_size=3,
+        collate_fn=None,
+        shuffle=True,
+        seed=0,
+        length_key=lambda i: lens[i],
+    )
+    e1 = list(dl.iter_index_batches())
+    e2 = list(dl.iter_index_batches())
+    flat = [i for b in e1 for i in b]
+    assert sorted(flat) == list(range(10))
+    for b in e1:
+        bl = [lens[i] for i in b]
+        assert bl == sorted(bl)
+    # composition is deterministic across epochs; order may shuffle
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e2))
+    # batches tile the length-sorted order in runs of batch_size
+    order = sorted(range(10), key=lambda i: lens[i])
+    expected = {tuple(order[s : s + 3]) for s in range(0, 10, 3)}
+    assert set(map(tuple, e1)) == expected
+
+
+def test_length_sorted_day_sampler_keeps_days_unmixed():
+    from wav2vec2forbrain_tpu.data.loader import Brain2TextBatchSampler
+
+    class _S:
+        def __init__(self, day, t):
+            self.day_idx = day
+            self.input = np.zeros((t, 4), np.float32)
+
+    class _DS:
+        def __init__(self):
+            self.samples = [
+                _S(0, 30), _S(0, 5), _S(0, 12), _S(0, 40), _S(0, 7),
+                _S(1, 22), _S(1, 3), _S(1, 18),
+            ]
+
+        def __len__(self):
+            return len(self.samples)
+
+    ds = _DS()
+    sampler = Brain2TextBatchSampler(
+        ds,
+        batch_size=2,
+        shuffle=False,
+        length_key=lambda i: ds.samples[i].input.shape[0],
+    )
+    for batch in sampler:
+        days = {ds.samples[i].day_idx for i in batch}
+        assert len(days) == 1
+        bl = [ds.samples[i].input.shape[0] for i in batch]
+        assert bl == sorted(bl)
+    flat = [i for b in sampler.batches for i in b]
+    assert sorted(flat) == list(range(8))
+
+
 @pytest.fixture
 def synthetic_splits_dir_hetero(tmp_path_factory):
     from wav2vec2forbrain_tpu.data.synthetic import make_synthetic_splits_dir

@@ -293,6 +293,33 @@ class BaseExperimentArgsModel(BaseModel):
             "always group: their averaged results are order-invariant"
         ),
     )
+    precompile_buckets: bool = Field(
+        True,
+        description=(
+            "Compile every (split, bucket width) chunk program BEFORE the "
+            "first epoch by dispatching one all-invalid (valid=False) chunk "
+            "per width — the scan body is lax.cond-skipped so no compute "
+            "runs and no state changes, but XLA compiles the full program. "
+            "Without it, a bucket width first hit in a late epoch pays its "
+            "~17 s compile inside that epoch (a hidden 8x per-epoch "
+            "throughput collapse). Only active when chunking + the device "
+            "cache are on"
+        ),
+    )
+    length_sorted_batches: bool = Field(
+        False,
+        description=(
+            "Compose each day's batches from length-sorted samples instead "
+            "of a uniform shuffle, so batches are length-homogeneous and "
+            "land in the smallest covering length bucket (standard bucketed "
+            "batching, e.g. fairseq/torchaudio). Without it a batch's width "
+            "is the max of batch_size random draws — nearly every batch "
+            "pays the longest bucket. Batch composition becomes "
+            "deterministic per day (order still shuffles per epoch); "
+            "training numerics differ from the reference's uniform "
+            "composition, so this is opt-in"
+        ),
+    )
     length_buckets: Union[int, Literal["off", "exact"]] = Field(
         "off",
         description=(

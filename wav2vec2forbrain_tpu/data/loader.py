@@ -13,12 +13,26 @@ from wav2vec2forbrain_tpu.data.dataset import Brain2TextDataset
 
 
 class Brain2TextBatchSampler:
-    """Batches that never mix recording days (ref: batch_sampler.py:29-55)."""
+    """Batches that never mix recording days (ref: batch_sampler.py:29-55).
 
-    def __init__(self, data, batch_size: int, shuffle: bool = True, rng=None):
+    With `length_key` (--length_sorted_batches), each day's samples are
+    length-sorted before slicing into batches, so batches are length-
+    homogeneous and land in the smallest covering length bucket (standard
+    bucketed batching). Composition becomes deterministic; the epoch-level
+    batch ORDER still shuffles via __iter__."""
+
+    def __init__(
+        self,
+        data,
+        batch_size: int,
+        shuffle: bool = True,
+        rng=None,
+        length_key=None,
+    ):
         self.shuffle = shuffle
         self.batch_size = batch_size
         self._rng = rng if rng is not None else random.Random()
+        self.length_key = length_key
         self.day_index = self.build_day_index(data)
         self.batches = self.build_batches()
 
@@ -35,7 +49,10 @@ class Brain2TextBatchSampler:
         batches: List[List[int]] = []
         batch: List[int] = []
         for indices in self.day_index.values():
-            self._rng.shuffle(indices)
+            if self.length_key is not None:
+                indices.sort(key=self.length_key)
+            else:
+                self._rng.shuffle(indices)
             for index in indices:
                 batch.append(index)
                 if len(batch) == self.batch_size:
@@ -65,12 +82,14 @@ class DataLoader:
         shuffle: bool = False,
         batch_sampler: Optional[Brain2TextBatchSampler] = None,
         seed: int = 0,
+        length_key=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.shuffle = shuffle
         self.batch_sampler = batch_sampler
+        self.length_key = length_key
         self._rng = random.Random(seed)
 
     def __len__(self) -> int:
@@ -90,6 +109,20 @@ class DataLoader:
             yield from self.batch_sampler
             return
         order = list(range(len(self.dataset)))
+        if self.length_key is not None:
+            # --length_sorted_batches: deterministic length-homogeneous
+            # composition (each batch = a run of length-sorted samples, so it
+            # pays only its own covering bucket width, not the max of
+            # batch_size uniform draws); only the batch ORDER reshuffles
+            order.sort(key=self.length_key)
+            batches = [
+                order[s : s + self.batch_size]
+                for s in range(0, len(order), self.batch_size)
+            ]
+            if self.shuffle:
+                self._rng.shuffle(batches)
+            yield from batches
+            return
         if self.shuffle:
             self._rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):

@@ -227,6 +227,13 @@ class B2TGruW2VExperimentBase:
             pad_to_multiple=self.base_config.pad_to_multiple,
             target_pad_to_multiple=self.base_config.target_pad_to_multiple,
         )
+        length_key = None
+        if getattr(self.base_config, "length_sorted_batches", False):
+            # raw (pre-resample) frame counts: resampling scales every sample
+            # by the same rate factor, so the sort order — all the bucketing
+            # needs — is identical to sorting post-resample lengths
+            t_axis = self._cache_time_axis()
+            length_key = lambda i: ds.samples[i].input.shape[t_axis]  # noqa: E731
         sampler = None
         if getattr(self.base_config, "day_batches", False):
             sampler = Brain2TextBatchSampler(
@@ -234,6 +241,7 @@ class B2TGruW2VExperimentBase:
                 self.base_config.batch_size,
                 shuffle=(split == "train"),
                 rng=random.Random(self.base_config.seed),
+                length_key=length_key,
             )
         return DataLoader(
             ds,
@@ -242,6 +250,7 @@ class B2TGruW2VExperimentBase:
             shuffle=(split == "train"),
             batch_sampler=sampler,
             seed=self.base_config.seed,
+            length_key=length_key,
         )
 
     def _encoder_config(self):

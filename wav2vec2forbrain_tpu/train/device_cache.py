@@ -243,6 +243,20 @@ class DeviceDatasetCache:
         self._buckets = bs
         return self
 
+    def reachable_widths(self) -> List[int]:
+        """Every bucket width a batch from this split can land in: a batch's
+        width is the bucket of its longest sample, so the reachable set is
+        exactly {bucket(len) for len in the split's sample lengths}. Used by
+        the Trainer's --precompile_buckets pass to compile every (split,
+        width) chunk program up front instead of paying a ~17 s compile the
+        first time a rare width appears inside a late epoch."""
+        if self._buckets is None:
+            return [self._t_full]
+        bs = np.asarray(self._buckets, np.int64)
+        pos = np.searchsorted(bs, np.unique(self._host_ilens))
+        pos = np.minimum(pos, len(bs) - 1)
+        return sorted({int(bs[p]) for p in pos})
+
     def width_for(self, idxs: List[int]) -> int:
         """The bucket width for a batch: smallest bucket covering its
         longest sample (dataset max when bucketing is off)."""

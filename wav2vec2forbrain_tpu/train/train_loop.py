@@ -706,6 +706,85 @@ class Trainer:
         evaluator.clean_up()
         return results
 
+    def _precompile_bucket_programs(self):
+        """Compile every (split, bucket width) chunk program BEFORE epoch 1
+        (--precompile_buckets) by dispatching one all-invalid chunk per
+        reachable width: every scan slot carries valid=False, so the body is
+        lax.cond-skipped — params/opt state/RNG pass through bit-identical
+        and ~no compute runs — but XLA compiles the full (K, width) program.
+
+        Why: batch composition is random within a day (reference parity), so
+        a batch's bucket is the max of batch_size draws — rare small-width
+        batches appear stochastically in LATE epochs, each paying its full
+        chunk-program compile (~17 s) inside that epoch (the hidden 8x
+        per-epoch collapse in round 4's long-seq bench). The reference has
+        no compile-time concern (eager torch); this is pure TPU UX.
+
+        The train programs donate their state buffers, so the (identical)
+        outputs are reassigned. Eval programs are precompiled only for
+        splits that will actually take the chunked path (no LM decode)."""
+        if self._multi_step_k < 2 or not self._cache_by_loader:
+            return
+        if not getattr(self.config, "precompile_buckets", True):
+            return
+        k = self._multi_step_k
+        target = max(self.config.batch_size, 1)
+        b_full = ((target + self.data_axis - 1) // self.data_axis) * self.data_axis
+        idx_mat = np.zeros((k, b_full), np.int32)
+        mask_mat = np.ones((k, b_full), np.float32)
+        valid = np.zeros((k,), bool)
+        brain_lr = float(self.lr_schedules.brain(0))
+        w2v_lr = float(self.lr_schedules.w2v(0))
+        t0 = time.perf_counter()
+        compiled = []
+        train_cache = self._cache_by_loader.get(id(self.dataloader_train))
+        if train_cache is not None:
+            multi_step = self.experiment.get_multi_step()
+            for w in train_cache.reachable_widths():
+                mo = multi_step(
+                    self.trainable,
+                    self.frozen,
+                    self.opt_state,
+                    self.model_state,
+                    train_cache._dev,
+                    idx_mat,
+                    mask_mat,
+                    valid,
+                    self.rng,
+                    brain_lr,
+                    w2v_lr,
+                    w,
+                )
+                self.trainable = mo.params
+                self.opt_state = mo.opt_state
+                self.model_state = mo.model_state
+                self.rng = mo.rng
+                compiled.append(f"train@{w}")
+        lm_on = bool(getattr(self.config, "lm_decode_test_predictions", False))
+        for mode, loader in (("val", self.dataloader_val),
+                             ("test", self.dataloader_test)):
+            cache = self._cache_by_loader.get(id(loader))
+            if cache is None or (mode == "test" and lm_on):
+                continue
+            multi_eval = self.experiment.get_multi_eval()
+            for w in cache.reachable_widths():
+                multi_eval(
+                    self.trainable,
+                    self.frozen,
+                    self.model_state,
+                    cache._dev,
+                    idx_mat,
+                    mask_mat,
+                    valid,
+                    w,
+                )
+                compiled.append(f"{mode}@{w}")
+        if compiled:
+            print(
+                f"precompile_buckets: {len(compiled)} chunk programs "
+                f"({', '.join(compiled)}) in {time.perf_counter() - t0:.1f}s"
+            )
+
     def _get_wandb_metrics(self, epoch_hist: SingleEpochHistory, prefix: str):
         avg = epoch_hist.get_average()
         metrics = {f"{prefix}_{self.config.loss_function}_loss": avg.loss}
@@ -870,6 +949,8 @@ class Trainer:
                 self.config.resume_train_state
             )
             print(f"Resumed full train state at epoch {start_epoch}")
+
+        self._precompile_bucket_programs()
 
         last_epoch = 0
         for epoch in range(start_epoch, self.config.epochs):
