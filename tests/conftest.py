@@ -22,6 +22,30 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    """Real-artifact validation hooks (docs/REAL_ARTIFACT_VALIDATION.md).
+
+    The artifacts are unreachable in the build environment (zero egress,
+    private T12 data); tests/test_real_artifacts.py skips unless these are
+    passed, so the runbook is copy-paste executable the day they exist."""
+    parser.addoption(
+        "--real-checkpoint",
+        default=None,
+        help="HF checkpoint id/path for full-size golden validation "
+        "(e.g. facebook/wav2vec2-conformer-rope-large-960h-ft)",
+    )
+    parser.addoption(
+        "--real-arpa",
+        default=None,
+        help="path to a real ARPA LM (the reference's 3gram.arpa)",
+    )
+    parser.addoption(
+        "--real-binary",
+        default=None,
+        help="path to a kenlm build_binary probing binary of --real-arpa",
+    )
+
+
 @pytest.fixture(scope="session")
 def synthetic_splits_dir(tmp_path_factory):
     from wav2vec2forbrain_tpu.data.synthetic import make_synthetic_splits_dir
