@@ -254,45 +254,53 @@ def conformer_self_attention(
     # everything else in the layer is recomputed from them + the layer input
     q = checkpoint_name(
         apply_linear(p["linear_q"], qk_states, cd, out_dtype=sd), "blk"
-    ).reshape(b, t, heads, head)
+    )
     k = checkpoint_name(
         apply_linear(p["linear_k"], qk_states, cd, out_dtype=sd), "blk"
-    ).reshape(b, t, heads, head)
+    )
     v = checkpoint_name(
         apply_linear(p["linear_v"], x, cd, out_dtype=sd), "blk"
-    ).reshape(b, t, heads, head)
-
-    q = jnp.transpose(q, (0, 2, 1, 3))
-    k = jnp.transpose(k, (0, 2, 1, 3))
-    v = jnp.transpose(v, (0, 2, 1, 3))
+    )
 
     from wav2vec2forbrain_tpu.ops.select import kernel_enabled
 
     if kernel_enabled("attention", use_pallas, sd):
         from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng
 
+        # the kernel is (B, T, H·D)-native: q/k/v go in exactly as the
+        # projections emit them, no reshapes/transposes on either side
         ctx, rng = mha_with_rng(
-            q, k, v, 1.0 / math.sqrt(head), cfg.attention_dropout, rng,
-            train, cd,
+            q, k, v, heads, 1.0 / math.sqrt(head), cfg.attention_dropout,
+            rng, train, cd,
         )
-    else:
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
-            preferred_element_type=jnp.float32,
-        ) / math.sqrt(head)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        if train and cfg.attention_dropout > 0.0:
-            rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(
-                sub, 1.0 - cfg.attention_dropout, probs.shape
-            )
-            probs = jnp.where(
-                keep, probs / (1.0 - cfg.attention_dropout), 0.0
-            )
-        ctx = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs.astype(cd), v.astype(cd),
-            preferred_element_type=jnp.float32,
+        ctx = checkpoint_name(ctx, "blk")
+        return (
+            checkpoint_name(
+                apply_linear(p["linear_out"], ctx, cd, out_dtype=sd), "blk"
+            ),
+            rng,
         )
+    # dense XLA path (per-head layout)
+    q = jnp.transpose(q.reshape(b, t, heads, head), (0, 2, 1, 3))
+    k = jnp.transpose(k.reshape(b, t, heads, head), (0, 2, 1, 3))
+    v = jnp.transpose(v.reshape(b, t, heads, head), (0, 2, 1, 3))
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(head)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if train and cfg.attention_dropout > 0.0:
+        rng, sub = jax.random.split(rng)
+        keep = jax.random.bernoulli(
+            sub, 1.0 - cfg.attention_dropout, probs.shape
+        )
+        probs = jnp.where(
+            keep, probs / (1.0 - cfg.attention_dropout), 0.0
+        )
+    ctx = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(cd), v.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
     ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h)
     ctx = checkpoint_name(ctx, "blk")
     return (

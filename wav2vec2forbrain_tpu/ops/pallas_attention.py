@@ -11,7 +11,15 @@ the backward pass recomputes probs from q/k instead of saving them — which
 also drops the (L, B, H, T, T) probs residual (0.4-1.6 GB at bs 32) from
 training memory.
 
-Forward, per grid program (one batch element, all heads looped):
+Layout: the kernel is (B, T, H·D)-native — exactly what the q/k/v
+projections emit — and slices each head's D lanes inside the kernel. The
+earlier (B, H, T, D) layout forced eight physical (b,t,h,d)<->(b,h,t,d)
+transposes per layer around the opaque custom call (XLA cannot fuse through
+it) and wasted half of every VMEM lane tile (D=64 of 128 lanes); BTH blocks
+are fully lane-packed and need no layout ops at all (measured on v5e at the
+bench shape: attention block fwd+bwd 26.9 -> 23.0 ms/step x24 layers).
+
+Forward, per grid program (`group` batch elements, all heads looped):
     scores = (q @ k^T) * scale          f32 accumulate
     probs  = softmax(scores, -1)        f32
     probs  = dropout(probs)             train only, stateless hash mask
@@ -28,7 +36,9 @@ interpret mode on CPU):
 
 Numerics match the dense path op-for-op (same dtypes, same accumulate
 order); the train-mode dropout STREAM differs from jax.random — irrelevant
-for parity, the reference's cuRAND streams differ from both.
+for parity, the reference's cuRAND streams differ from both. The per-head
+mask streams are keyed on GLOBAL (row, head) ids, so masks are identical to
+the old layout's bit-for-bit and across any mesh sharding.
 """
 
 import functools
@@ -65,14 +75,16 @@ def _keep_mask(shape, keep_prob, mix):
     return (u < keep_prob).astype(jnp.float32)
 
 
-def _mix(seed_ref, rows_ref, heads_ref, r, h):
+def _mix(seed_ref, rows_ref, heads_ref, r, h, d):
     """Per-(GLOBAL batch row, GLOBAL head) hash stream selector.
 
     rows/heads carry global indices (they shard along with q), so dropout
     masks are identical whether the batch runs on one chip or dp/tp-sharded
-    across a mesh — and never repeat across shards."""
+    across a mesh — and never repeat across shards. heads_ref is lane-
+    replicated (each head id repeated D times) so it shards 1:1 with q's
+    hidden dim; entry h*d is head h's global id."""
     row = rows_ref[r].astype(jnp.uint32)
-    head = heads_ref[h].astype(jnp.uint32)
+    head = heads_ref[h * d].astype(jnp.uint32)
     return (
         seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x27D4EB2F)
         + row * jnp.uint32(0x165667B1)
@@ -92,23 +104,25 @@ def _probs(q, k, scale, compute_dtype):
 
 def _fwd_kernel(
     seed_ref, rows_ref, heads_ref, q_ref, k_ref, v_ref, o_ref,
-    *, group, heads, scale, keep_prob, compute_dtype,
+    *, group, heads, d, scale, keep_prob, compute_dtype,
 ):
-    """Blocks: q/k/v/o (group, heads, T, D) — `group` batch elements per
+    """Blocks: q/k/v/o (group, T, H·D) — `group` batch elements per
     program (amortizes per-program grid overhead; results are independent
-    of `group` since the dropout hash keys on GLOBAL ids)."""
+    of `group` since the dropout hash keys on GLOBAL ids). Heads are
+    static lane slices h*d:(h+1)*d of the packed hidden dim."""
     for i in range(group):
         for h in range(heads):  # static unroll: 2-D matmuls only
-            p = _probs(q_ref[i, h], k_ref[i, h], scale, compute_dtype)
+            sl = slice(h * d, (h + 1) * d)
+            p = _probs(q_ref[i, :, sl], k_ref[i, :, sl], scale, compute_dtype)
             if keep_prob < 1.0:
                 row = pl.program_id(0) * group + i
-                mix = _mix(seed_ref, rows_ref, heads_ref, row, h)
+                mix = _mix(seed_ref, rows_ref, heads_ref, row, h, d)
                 p = p * _keep_mask(p.shape, keep_prob, mix) * (
                     1.0 / keep_prob
                 )
-            o_ref[i, h] = jax.lax.dot_general(
+            o_ref[i, :, sl] = jax.lax.dot_general(
                 p.astype(compute_dtype),
-                v_ref[i, h].astype(compute_dtype),
+                v_ref[i, :, sl].astype(compute_dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(o_ref.dtype)
@@ -117,20 +131,21 @@ def _fwd_kernel(
 def _bwd_kernel(
     seed_ref, rows_ref, heads_ref, q_ref, k_ref, v_ref, g_ref,
     dq_ref, dk_ref, dv_ref,
-    *, group, heads, scale, keep_prob, compute_dtype,
+    *, group, heads, d, scale, keep_prob, compute_dtype,
 ):
     cd = compute_dtype
     for i in range(group):
         for h in range(heads):
-            q = q_ref[i, h]
-            k = k_ref[i, h]
-            v = v_ref[i, h]
-            g = g_ref[i, h]
+            sl = slice(h * d, (h + 1) * d)
+            q = q_ref[i, :, sl]
+            k = k_ref[i, :, sl]
+            v = v_ref[i, :, sl]
+            g = g_ref[i, :, sl]
             p = _probs(q, k, scale, cd)  # pre-dropout probs, f32
             if keep_prob < 1.0:
                 # same (seed, global row, global head) stream as forward
                 row = pl.program_id(0) * group + i
-                mix = _mix(seed_ref, rows_ref, heads_ref, row, h)
+                mix = _mix(seed_ref, rows_ref, heads_ref, row, h, d)
                 mask = _keep_mask(p.shape, keep_prob, mix) * (
                     1.0 / keep_prob
                 )
@@ -138,7 +153,7 @@ def _bwd_kernel(
             else:
                 pd = p
             # dv = pd^T @ g
-            dv_ref[i, h] = jax.lax.dot_general(
+            dv_ref[i, :, sl] = jax.lax.dot_general(
                 pd.astype(cd), g.astype(cd),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -153,12 +168,12 @@ def _bwd_kernel(
                 dp = dp * mask
             # softmax VJP on pre-dropout probs
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dq_ref[i, h] = (jax.lax.dot_general(
+            dq_ref[i, :, sl] = (jax.lax.dot_general(
                 ds.astype(cd), k.astype(cd),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale).astype(dq_ref.dtype)
-            dk_ref[i, h] = (jax.lax.dot_general(
+            dk_ref[i, :, sl] = (jax.lax.dot_general(
                 ds.astype(cd), q.astype(cd),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -176,13 +191,15 @@ def _bwd_kernel(
 _VMEM_BLOCK_BUDGET = 5 * 1024 * 1024
 
 
-def _pick_group(b, h, t, d, n_arrays, itemsize):
+def _pick_group(b, t, hd, n_arrays, itemsize):
     """Largest divisor of b whose operand blocks fit the VMEM budget.
 
     itemsize is the kernel's HBM block dtype (the q/k/v stream dtype —
     outputs are emitted in the same dtype); a bf16 stream halves the block
-    bytes so groups double for free."""
-    per_elem = n_arrays * h * t * d * itemsize
+    bytes so groups double for free. BTH blocks are lane-packed (the last
+    dim is the full hidden size), so the estimate is the true footprint —
+    no half-empty 128-lane tiles like per-head D=64 blocks had."""
+    per_elem = n_arrays * t * hd * itemsize
     g = 1
     for cand in range(2, b + 1):
         if b % cand == 0 and cand * per_elem <= _VMEM_BLOCK_BUDGET:
@@ -190,16 +207,21 @@ def _pick_group(b, h, t, d, n_arrays, itemsize):
     return g
 
 
-def _call(kern_fn, n_in, n_out, bhtd, seed, rows, head_ids, *args,
+def _call(kern_fn, n_in, n_out, bth, head_dim, seed, rows, head_ids, *args,
           interpret, out_dtype=jnp.float32, **kern_kw):
-    b, h, t, d = bhtd
+    b, t, hd = bth
     itemsize = jnp.dtype(out_dtype).itemsize
-    group = _pick_group(b, h, t, d, n_in + n_out + 1, itemsize)
-    kern = functools.partial(kern_fn, group=group, **kern_kw)
-    block = pl.BlockSpec(
-        (group, h, t, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    group = _pick_group(b, t, hd, n_in + n_out + 1, itemsize)
+    # head COUNT comes from the (possibly shard-local) packed dim: under
+    # head-tp each shard sees hd_local = (H/tp)·D, so heads must be derived
+    # from the local shape while D — sharding-invariant — is the static
+    kern = functools.partial(
+        kern_fn, group=group, heads=hd // head_dim, d=head_dim, **kern_kw
     )
-    out_shape = [jax.ShapeDtypeStruct((b, h, t, d), out_dtype)] * n_out
+    block = pl.BlockSpec(
+        (group, t, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [jax.ShapeDtypeStruct((b, t, hd), out_dtype)] * n_out
     out_specs = [block] * n_out
     if n_out == 1:
         out_shape = out_shape[0]
@@ -215,47 +237,54 @@ def _call(kern_fn, n_in, n_out, bhtd, seed, rows, head_ids, *args,
     )(seed, rows, head_ids, *args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def mha_fused(q, k, v, seed, scale, dropout_rate, compute_dtype):
-    """q/k/v: (B, H, T, D) -> ctx (B, H, T, D) in q.dtype (f32 accumulate).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def mha_fused_bth(q, k, v, seed, num_heads, scale, dropout_rate,
+                  compute_dtype):
+    """q/k/v: (B, T, H·D) — the projections' native layout -> ctx
+    (B, T, H·D) in q.dtype (f32 accumulate), no layout ops anywhere.
 
     seed: int32 scalar array; used only when dropout_rate > 0 (train mode).
     Pass dropout_rate=0.0 for eval."""
-    return _fwd_partitioned(scale, dropout_rate, compute_dtype)(
-        q, k, v, seed.reshape(1).astype(jnp.int32), *_ids(q)
-    )
+    return _fwd_partitioned(
+        q.shape[2] // num_heads, scale, dropout_rate, compute_dtype
+    )(q, k, v, seed.reshape(1).astype(jnp.int32), *_ids(q, num_heads))
 
 
-def _ids(q):
+def _ids(q, num_heads):
     """Global (row, head) index vectors — sharded along with q, they give
     the kernel global coordinates for the dropout hash regardless of mesh
-    layout (masks are identical sharded or unsharded)."""
+    layout (masks are identical sharded or unsharded). The head-id vector
+    is lane-replicated (each id repeated D times, length H·D) so it carries
+    the same sharding factor as q's packed hidden dim."""
+    d = q.shape[2] // num_heads
     return (
         jnp.arange(q.shape[0], dtype=jnp.int32),
-        jnp.arange(q.shape[1], dtype=jnp.int32),
+        jnp.repeat(jnp.arange(num_heads, dtype=jnp.int32), d),
     )
 
 
-def _fwd_impl(q, k, v, seed, rows, heads, scale, dropout_rate, compute_dtype):
-    b, h, t, d = q.shape
+def _fwd_impl(q, k, v, seed, rows, head_ids, head_dim, scale, dropout_rate,
+              compute_dtype):
+    b, t, hd = q.shape
     return _call(
-        _fwd_kernel, 3, 1, (b, h, t, d), seed, rows, heads, q, k, v,
+        _fwd_kernel, 3, 1, (b, t, hd), head_dim, seed, rows, head_ids,
+        q, k, v,
         interpret=_interpret(),
         out_dtype=q.dtype,
-        heads=h,
         scale=scale,
         keep_prob=1.0 - dropout_rate,
         compute_dtype=compute_dtype,
     )
 
 
-def _bwd_impl(q, k, v, g, seed, rows, heads, scale, dropout_rate, compute_dtype):
-    b, h, t, d = q.shape
+def _bwd_impl(q, k, v, g, seed, rows, head_ids, head_dim, scale,
+              dropout_rate, compute_dtype):
+    b, t, hd = q.shape
     return _call(
-        _bwd_kernel, 4, 3, (b, h, t, d), seed, rows, heads, q, k, v, g,
+        _bwd_kernel, 4, 3, (b, t, hd), head_dim, seed, rows, head_ids,
+        q, k, v, g,
         interpret=_interpret(),
         out_dtype=q.dtype,
-        heads=h,
         scale=scale,
         keep_prob=1.0 - dropout_rate,
         compute_dtype=compute_dtype,
@@ -263,78 +292,101 @@ def _bwd_impl(q, k, v, g, seed, rows, heads, scale, dropout_rate, compute_dtype)
 
 
 # GSPMD would all-gather sharded operands around the opaque pallas calls and
-# run them replicated; declare the (batch, head)-parallel partitioning so dp
-# and head-tp meshes run the kernels shard-local with no collectives
+# run them replicated; declare the (batch, hidden)-parallel partitioning so
+# dp and head-tp meshes run the kernels shard-local with no collectives
 # (parallel/kernel_partition.py). One wrapper per static config, cached so
-# jit retracing sees a stable callable. Factor 0 = batch, factor 1 = heads;
-# the rows/heads index vectors shard with their factor so the kernel sees
-# global coordinates.
-_QKV = {0: 0, 1: 1}
+# jit retracing sees a stable callable. Factor 0 = batch on dim 0; factor
+# 1 = the packed hidden dim (head-tp shards whole heads: tp must divide
+# num_heads, which the Megatron specs already require). The rows/head-id
+# vectors shard with their factor so the kernel sees global coordinates.
+_QKV = {0: 0, 1: 2}
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_partitioned(scale, dropout_rate, compute_dtype):
+def _fwd_partitioned(head_dim, scale, dropout_rate, compute_dtype):
     from wav2vec2forbrain_tpu.parallel.kernel_partition import (
         partition_kernel,
     )
 
-    def impl(q, k, v, seed, rows, heads):
+    def impl(q, k, v, seed, rows, head_ids):
         return _fwd_impl(
-            q, k, v, seed, rows, heads, scale, dropout_rate, compute_dtype
+            q, k, v, seed, rows, head_ids, head_dim, scale, dropout_rate,
+            compute_dtype,
         )
 
     return partition_kernel(
         impl,
         arg_factors=[_QKV, _QKV, _QKV, None, {0: 0}, {1: 0}],
-        arg_ndims=(4, 4, 4, 1, 1, 1),
+        arg_ndims=(3, 3, 3, 1, 1, 1),
         out_factors=[_QKV],
-        out_ndims=(4,),
+        out_ndims=(3,),
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_partitioned(scale, dropout_rate, compute_dtype):
+def _bwd_partitioned(head_dim, scale, dropout_rate, compute_dtype):
     from wav2vec2forbrain_tpu.parallel.kernel_partition import (
         partition_kernel,
     )
 
-    def impl(q, k, v, g, seed, rows, heads):
+    def impl(q, k, v, g, seed, rows, head_ids):
         return _bwd_impl(
-            q, k, v, g, seed, rows, heads, scale, dropout_rate, compute_dtype
+            q, k, v, g, seed, rows, head_ids, head_dim, scale,
+            dropout_rate, compute_dtype,
         )
 
     return partition_kernel(
         impl,
         arg_factors=[_QKV, _QKV, _QKV, _QKV, None, {0: 0}, {1: 0}],
-        arg_ndims=(4, 4, 4, 4, 1, 1, 1),
+        arg_ndims=(3, 3, 3, 3, 1, 1, 1),
         out_factors=[_QKV, _QKV, _QKV],
-        out_ndims=(4, 4, 4),
+        out_ndims=(3, 3, 3),
     )
 
 
-def _vjp_fwd(q, k, v, seed, scale, dropout_rate, compute_dtype):
-    o = mha_fused(q, k, v, seed, scale, dropout_rate, compute_dtype)
+def _vjp_fwd(q, k, v, seed, num_heads, scale, dropout_rate, compute_dtype):
+    o = mha_fused_bth(q, k, v, seed, num_heads, scale, dropout_rate,
+                      compute_dtype)
     return o, (q, k, v, seed)
 
 
-def _vjp_bwd(scale, dropout_rate, compute_dtype, res, g):
+def _vjp_bwd(num_heads, scale, dropout_rate, compute_dtype, res, g):
     q, k, v, seed = res
-    dq, dk, dv = _bwd_partitioned(scale, dropout_rate, compute_dtype)(
+    dq, dk, dv = _bwd_partitioned(q.shape[2] // num_heads, scale,
+                                  dropout_rate, compute_dtype)(
         q, k, v, g.astype(q.dtype),
-        seed.reshape(1).astype(jnp.int32), *_ids(q),
+        seed.reshape(1).astype(jnp.int32), *_ids(q, num_heads),
     )
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
-mha_fused.defvjp(_vjp_fwd, _vjp_bwd)
+mha_fused_bth.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def mha_with_rng(q, k, v, scale, dropout_rate, rng, train, compute_dtype):
+def mha_fused(q, k, v, seed, scale, dropout_rate, compute_dtype):
+    """(B, H, T, D)-layout compat entry (tests, external callers): reshapes
+    to the kernel's native BTH layout and back. Model code should call
+    mha_fused_bth / mha_with_rng directly and skip the transposes."""
+    b, h, t, d = q.shape
+
+    def to_bth(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, h * d)
+
+    ctx = mha_fused_bth(
+        to_bth(q), to_bth(k), to_bth(v), seed, h, scale, dropout_rate,
+        compute_dtype,
+    )
+    return jnp.transpose(ctx.reshape(b, t, h, d), (0, 2, 1, 3))
+
+
+def mha_with_rng(q, k, v, num_heads, scale, dropout_rate, rng, train,
+                 compute_dtype):
     """Model-side entry: derive the kernel's int32 seed from a jax.random key
-    (one split, like the dense path's dropout) and run mha_fused.
+    (one split, like the dense path's dropout) and run mha_fused_bth.
 
-    Returns (ctx (B,H,T,D) in q's dtype — the activation-stream dtype —
-    with f32 accumulation inside the kernel, advanced rng)."""
+    q/k/v: (B, T, H·D) — straight from the projections. Returns (ctx
+    (B, T, H·D) in q's dtype — the activation-stream dtype — with f32
+    accumulation inside the kernel, advanced rng)."""
     rate = dropout_rate if train else 0.0
     if rate > 0.0:
         rng, sub = jax.random.split(rng)
@@ -343,4 +395,7 @@ def mha_with_rng(q, k, v, scale, dropout_rate, rng, train, compute_dtype):
         )
     else:
         seed = jnp.zeros((), jnp.int32)
-    return mha_fused(q, k, v, seed, scale, rate, compute_dtype), rng
+    return (
+        mha_fused_bth(q, k, v, seed, num_heads, scale, rate, compute_dtype),
+        rng,
+    )

@@ -482,6 +482,17 @@ class Trainer:
             ):
                 self._log_intermediate(i, n, evaluator)
 
+        # W2VB_CHUNK_TIMING=1: per-phase wall attribution of this loop,
+        # printed per epoch (dispatch = multi_step host-side call, fetch =
+        # blocking np.asarray of the lag-1 chunk's stacked outputs, track =
+        # tokenizer decode + WER on the host). Diagnostic for the short-step
+        # regime where per-chunk host costs stop hiding behind device time.
+        timing = (
+            {"dispatch": 0.0, "fetch": 0.0, "track": 0.0, "n_chunks": 0}
+            if os.environ.get("W2VB_CHUNK_TIMING")
+            else None
+        )
+
         pending = None  # (MultiStepOut, chunk rows, first batch index, n_real)
         # Work plan: chunks of up to K CONSECUTIVE batches sharing one bucket
         # width (the scan needs a static shape, and using the run's own width
@@ -494,10 +505,14 @@ class Trainer:
         work = _chunk_work_plan(rows, k, cache, self._bucket_order_grouped())
 
         def process_chunk(mo, chunk, i0, n_real):
+            t0 = time.perf_counter() if timing is not None else 0.0
             loss = np.asarray(mo.loss)
             pred_ids = np.asarray(mo.pred_ids)
             logit_lens = np.asarray(mo.logit_lens)
             metrics = {k_: np.asarray(v) for k_, v in mo.metrics.items()}
+            if timing is not None:
+                timing["fetch"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
             for j, (_idx, _mask, true_b, idxs) in enumerate(chunk[:n_real]):
                 track(
                     loss[j],
@@ -508,6 +523,8 @@ class Trainer:
                     true_b,
                     i0 + j,
                 )
+            if timing is not None:
+                timing["track"] += time.perf_counter() - t0
 
         # lag-1 pipeline over the chunks: chunk m's host decode overlaps
         # chunk m+1's device compute
@@ -515,6 +532,7 @@ class Trainer:
             idx_mat = np.stack([r[0] for r in chunk])
             mask_mat = np.stack([r[1] for r in chunk])
             valid = np.arange(len(chunk)) < n_real
+            t_disp = time.perf_counter() if timing is not None else 0.0
             mo = multi_step(
                 self.trainable,
                 self.frozen,
@@ -529,6 +547,9 @@ class Trainer:
                 w2v_lr,
                 width,
             )
+            if timing is not None:
+                timing["dispatch"] += time.perf_counter() - t_disp
+                timing["n_chunks"] += 1
             self.trainable = mo.params
             self.opt_state = mo.opt_state
             self.model_state = mo.model_state
@@ -552,6 +573,16 @@ class Trainer:
             process_chunk(*pending)
 
         dt_epoch = time.perf_counter() - t_epoch
+        if timing is not None:
+            timing = {
+                k_: round(v, 4) if isinstance(v, float) else v
+                for k_, v in timing.items()
+            }
+            print(
+                f"chunk timing epoch {epoch}: {timing} "
+                f"(epoch wall {dt_epoch:.3f}s, {n} steps)",
+                flush=True,
+            )
         self.train_step_time += dt_epoch
         if epoch_samples:
             self.step_timer.add(dt_epoch, epoch_samples, steps=n)
