@@ -123,6 +123,12 @@ def _bench_configs(on_accel, family):
             target_pad_to_multiple=64,
             length_buckets=4,
             length_bucket_order="grouped",
+            # sorted batch composition: each batch pays its own covering
+            # bucket width instead of the max of 32 uniform draws (A/B on
+            # v5e: 227.6 vs 128.0 samples/s/chip median warm epoch).
+            # Standard bucketed batching; numerics differ from uniform
+            # composition (documented, off by default in the CLI).
+            length_sorted_batches=True,
             scan_layers=True,
             h2d_dtype="float16",
             adam_mu_dtype="bfloat16",

@@ -81,16 +81,20 @@ def main():
             for v in jax.tree_util.tree_leaves(g)
         )
 
-    def reps(fn):
+    def reps(fn, wrt="p"):
+        """x24 fwd+bwd; wrt='x' for param-free parts (RoPE, layout) so the
+        backward differentiates through the op chain instead of being DCE'd
+        as constant-wrt-params."""
+
         @jax.jit
         def run(p, xx, key):
-            def loss(p):
-                hh = xx
+            def loss(arg):
+                pp, hh = (arg, xx) if wrt == "p" else (p, arg)
                 for _ in range(n):
-                    hh = fn(p, hh, key)
+                    hh = fn(pp, hh, key)
                 return jnp.sum(hh * hh)
 
-            l, g = jax.value_and_grad(loss)(p)
+            l, g = jax.value_and_grad(loss)(p if wrt == "p" else xx)
             return consume(l, g)
 
         return run
@@ -98,9 +102,12 @@ def main():
     p = lp["self_attn"]
 
     parts = {
-        # the whole block, Pallas kernel routed per ops/select policy
+        # the whole block, Pallas kernel routed per ops/select policy.
+        # NB every lambda must READ ITS p ARGUMENT (the grad target) — a
+        # closure over lp would make the loss constant wrt p and XLA would
+        # DCE the whole backward, silently reporting fwd-only time.
         "attn_full": lambda p, xx, key: conformer_self_attention(
-            lp["self_attn"], xx, cfg, cos, sin, key, True, cd, use_pallas=True
+            p, xx, cfg, cos, sin, key, True, cd, use_pallas=True
         )[0],
         # RoPE alone (emit in stream dtype, like the block does)
         "rope": lambda p, xx, key: _apply_rotary(xx, cos, sin, heads),
@@ -123,7 +130,11 @@ def main():
     }
 
     for name, fn in parts.items():
-        print(f"{name}_x{n}_fwd_bwd_ms", round(timeit(reps(fn), p, x, rng), 2))
+        wrt = "x" if name in ("rope", "transposes") else "p"
+        print(
+            f"{name}_x{n}_fwd_bwd_ms",
+            round(timeit(reps(fn, wrt), p, x, rng), 2),
+        )
 
     # the inner kernel alone, BTH-native operands (no layout ops)
     from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng

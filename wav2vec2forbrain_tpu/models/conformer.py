@@ -337,8 +337,10 @@ def _batch_norm(
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
+    # normalize in f32 (mean/var promote), emit in the caller's stream
+    # dtype — a no-op at f32, halved traffic on a bf16 stream
     y = (x - mean) * jax.lax.rsqrt(var + cfg.batch_norm_eps)
-    return y * p["scale"] + p["bias"], new_state
+    return (y * p["scale"] + p["bias"]).astype(x.dtype), new_state
 
 
 def conformer_conv_module(
@@ -354,10 +356,15 @@ def conformer_conv_module(
     y = jnp.dot(
         y.astype(cd), p["pointwise_conv1"]["kernel"].astype(cd),
         preferred_element_type=jnp.float32,
-    )
-    # the conv module's (B,T,2C) f32 and (B,T,C) f32 tensors are the other
-    # big per-layer activations; name them so 'all_but_wide' recomputes the
-    # conv path instead of saving ~1.1 GB of f32 stacks across 24 layers
+    ).astype(sd)
+    # the conv module's (B,T,2C) and (B,T,C) tensors are the other big
+    # per-layer activations; they ride the ACTIVATION-STREAM dtype (a no-op
+    # at f32; under --activation_dtype=bfloat16 this halves the conv path's
+    # HBM traffic — the r4 path kept them f32 even on a bf16 stream, which
+    # made the conv module the worst roofline gap in the step at 17.7 ms vs
+    # ~6.5 SOL). BN still computes its statistics in f32 (torch/autocast
+    # semantics). Named for the 'all_but_wide' remat policy: recomputed in
+    # the backward instead of saving ~GBs of stacks across 24 layers.
     y = checkpoint_name(y, "ffn_wide")
     from wav2vec2forbrain_tpu.ops.select import kernel_enabled
 
@@ -372,8 +379,8 @@ def conformer_conv_module(
             y.astype(sd), p["depthwise_conv"]["kernel"][:, 0, :], cd
         )
     else:
-        a, b_half = jnp.split(y, 2, axis=-1)
-        y = a * jax.nn.sigmoid(b_half)
+        a, b_half = jnp.split(y.astype(jnp.float32), 2, axis=-1)
+        y = (a * jax.nn.sigmoid(b_half)).astype(sd)
         # depthwise conv k=31, same padding
         ks = cfg.conv_depthwise_kernel_size
         pad = (ks - 1) // 2
@@ -384,11 +391,11 @@ def conformer_conv_module(
             padding=[(pad, pad)],
             dimension_numbers=("NTC", "TIO", "NTC"),
             feature_group_count=cfg.hidden_size,
-        ).astype(jnp.float32)
-    y = checkpoint_name(y, "ffn_wide")  # dwconv output, f32 (B,T,C)
+        ).astype(sd)
+    y = checkpoint_name(y, "ffn_wide")  # dwconv output, stream dtype (B,T,C)
     y, new_bn = _batch_norm(p["batch_norm"], state["batch_norm"], y, cfg, train)
-    y = checkpoint_name(y, "ffn_wide")  # BN output, f32 (B,T,C)
-    y = ACT2FN[cfg.hidden_act](y.astype(sd))
+    y = checkpoint_name(y, "ffn_wide")  # BN output, stream dtype (B,T,C)
+    y = ACT2FN[cfg.hidden_act](y)
     y = jnp.dot(
         y.astype(cd), p["pointwise_conv2"]["kernel"].astype(cd),
         preferred_element_type=jnp.float32,
