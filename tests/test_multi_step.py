@@ -98,12 +98,24 @@ def test_multi_step_matches_sequential(tmp_path, synthetic_splits_dir, tiny_enco
     flat_a = jax.tree_util.tree_leaves(jax.device_get(mo.params))
     flat_b = jax.tree_util.tree_leaves(seq_params)
     # scan-body vs standalone-step executables fuse differently, and Adam's
-    # eps-division amplifies reduction-order noise on near-zero second
-    # moments: observed divergence is ~4/393k elements at <=1.1e-5 abs after
-    # 3 steps. atol=5e-5 is ~5% of one step's max update at lr 1e-3 — far
-    # below anything training-relevant, far above the observed noise.
+    # eps-division amplifies reduction-order noise on NEAR-ZERO second
+    # moments: a handful of elements land anywhere up to ~a fifth of one
+    # step's max update (lr 1e-3) after 3 steps — observed 2-4 outliers out
+    # of 1.57M at <=1.8e-4 abs (grew from <=1.1e-5 when the attention core
+    # moved to the jax.checkpoint'd XLA-BTH path, whose recomputed backward
+    # fuses differently inside vs outside the scan body). A systematic
+    # divergence (wrong RNG chain, mask leak, carry corruption) would touch
+    # whole tensors, not lone elements: so pin "bit-close for essentially all
+    # elements, small bounded noise on a vanishing fraction".
+    total = mismatched = 0
     for a, bb in zip(flat_a, flat_b):
-        np.testing.assert_allclose(a, bb, rtol=2e-3, atol=5e-5)
+        a64 = np.asarray(a, np.float64)
+        b64 = np.asarray(bb, np.float64)
+        err = np.abs(a64 - b64)
+        assert float(err.max(initial=0.0)) <= 5e-4, float(err.max())
+        mismatched += int((err > 5e-5).sum())
+        total += a64.size
+    assert mismatched <= max(8, total // 100_000), (mismatched, total)
 
 
 def test_trainer_chunked_equals_single_step(
@@ -162,3 +174,37 @@ def test_no_epoch2_retrace(tmp_path, synthetic_splits_dir, tiny_encoders):  # no
     # multi_eval legitimately traces twice: the val and test device caches
     # are different sizes, so their cache_arrays shapes differ
     assert exp.get_multi_eval()._cache_size() == 2
+
+
+def test_split_last_chunk_plan():
+    """_split_last_chunk re-dispatches the final chunk's tail as a second
+    padded chunk of the SAME (K, width) shape: batch coverage and order are
+    unchanged, both parts stay padded to K, and small/empty plans pass
+    through untouched (overlap optimization only, never a numerics change)."""
+    from wav2vec2forbrain_tpu.train.train_loop import _split_last_chunk
+
+    def row(i):
+        # (idx, mask, true_b, idxs) stand-in; identity by batch index i
+        return (i, None, 1, [i])
+
+    k = 32
+    run = [row(i) for i in range(30)]
+    padded = run + [run[-1]] * (k - len(run))
+    work = [(0, padded, 384, 30)]
+    out = _split_last_chunk(work)
+    assert len(out) == 2
+    (i0_h, head, w_h, n_h), (i0_t, tail, w_t, n_t) = out
+    assert (w_h, w_t) == (384, 384)
+    assert len(head) == k and len(tail) == k  # same compiled (K, width)
+    assert n_h + n_t == 30 and n_t == max(2, round(30 * 0.2))
+    assert (i0_h, i0_t) == (0, n_h)
+    # real slots cover the run in order; padding duplicates the last real row
+    assert [r[0] for r in head[:n_h]] == list(range(n_h))
+    assert [r[0] for r in tail[:n_t]] == list(range(n_h, 30))
+    assert all(r[0] == head[n_h - 1][0] for r in head[n_h:])
+    assert all(r[0] == tail[n_t - 1][0] for r in tail[n_t:])
+
+    # below the split threshold: untouched
+    small = [(0, [row(i) for i in range(7)] + [row(6)] * (k - 7), 384, 7)]
+    assert _split_last_chunk(small) is small
+    assert _split_last_chunk([]) == []

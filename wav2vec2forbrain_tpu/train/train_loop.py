@@ -206,7 +206,44 @@ def _chunk_work_plan(rows, k: int, cache, grouped: bool):
                 sub.append(sub[-1])
             work.append((i0 + c, sub, widths[order[i0]], n_real))
         i0 = j
-    return work
+    return _split_last_chunk(work)
+
+
+def _split_last_chunk(work, min_split=8, tail_frac=0.2):
+    """Split the epoch's FINAL chunk so a small tail dispatch hides the big
+    chunk's host-side cost.
+
+    Chunks are processed lag-1: chunk m's stacked outputs are fetched and
+    decoded while chunk m+1 computes on device. The final chunk has no
+    successor, so its whole fetch RTT + host decode (up to K batches of
+    tokenizer decode + WER) is exposed epoch wall — the dominant e2e-vs-
+    isolated gap in short-step regimes (w2v-base: 55 ms steps, one 30-batch
+    chunk per epoch). Re-dispatching its last ~20% of batches as a second
+    chunk of the SAME padded (K, width) program (extra slots carry
+    valid=False and are lax.cond-skipped on device) costs no new compile
+    and ~no device time, but the head chunk's decode now hides under the
+    tail's device compute and only the tail's few batches stay exposed.
+    Batch composition, order, and numerics are unchanged."""
+    if not work:
+        return work
+    i0, chunk, width, n_real = work[-1]
+    if n_real < min_split:
+        return work
+    k = len(chunk)
+    tail = max(2, int(round(n_real * tail_frac)))
+    real = list(chunk[:n_real])
+
+    def pad(sub):
+        sub = list(sub)
+        while len(sub) < k:
+            sub.append(sub[-1])
+        return sub
+
+    n_head = n_real - tail
+    return work[:-1] + [
+        (i0, pad(real[:n_head]), width, n_head),
+        (i0 + n_head, pad(real[n_head:]), width, tail),
+    ]
 
 
 class Trainer:
