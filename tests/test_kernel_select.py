@@ -43,8 +43,14 @@ def test_auto_routes_conv_by_stream_dtype():
     assert select.kernel_enabled("conv_glu", activation_dtype=jnp.float32)
     assert not select.kernel_enabled("conv_glu", activation_dtype=jnp.bfloat16)
     # dtype-insensitive kernels stay on
-    for k in ("attention", "gru", "preproc"):
+    for k in ("gru", "preproc"):
         assert select.kernel_enabled(k, activation_dtype=jnp.bfloat16)
+    # attention routes to the XLA-BTH dense path under auto (measured
+    # faster than the kernel at the short-T encoder shapes; the kernel
+    # stays selectable explicitly)
+    assert not select.kernel_enabled("attention", activation_dtype=jnp.bfloat16)
+    select.set_kernel_policy("attention")
+    assert select.kernel_enabled("attention")
 
 
 def test_env_override(monkeypatch):

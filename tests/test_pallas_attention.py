@@ -144,7 +144,20 @@ def test_dropout_gradient_matches_finite_difference(qkv):
 # --- model wiring -----------------------------------------------------------
 
 
-def test_w2v_attention_use_pallas_matches_dense():
+@pytest.fixture
+def kernel_policy_all():
+    """Force the Pallas kernels on: `auto` routes attention to the XLA-BTH
+    dense path (ops/xla_attention.py, measured faster at the encoder
+    shapes), so kernel-route tests must select the kernel explicitly."""
+    from wav2vec2forbrain_tpu.ops import select
+
+    old = select._policy
+    select.set_kernel_policy("all")
+    yield
+    select._policy = old
+
+
+def test_w2v_attention_use_pallas_matches_dense(kernel_policy_all):
     cfg = Wav2Vec2EncoderConfig.tiny_test()
     params = init_w2v_encoder_params(jax.random.PRNGKey(0), cfg)
     p_attn = params["layers"][0]["attention"]
@@ -158,7 +171,7 @@ def test_w2v_attention_use_pallas_matches_dense():
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
 
 
-def test_conformer_attention_use_pallas_matches_dense():
+def test_conformer_attention_use_pallas_matches_dense(kernel_policy_all):
     cfg = ConformerEncoderConfig.tiny_test()
     p = init_conformer_layer_params(jax.random.PRNGKey(0), cfg)["self_attn"]
     x = jax.random.normal(
@@ -173,7 +186,42 @@ def test_conformer_attention_use_pallas_matches_dense():
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
 
 
-def test_conformer_attention_grads_match(qkv):
+def test_dense_bth_matches_kernel_train_mode():
+    """The XLA-BTH dense route (ops/xla_attention.py) must reproduce the
+    kernel's TRAIN-mode output: the hash-dropout streams are bit-identical
+    by construction (same murmur constants, same (seed, row, head, q, k)
+    keying), so kernel<->dense routing never changes a training trajectory
+    beyond float reduction order."""
+    from wav2vec2forbrain_tpu.ops.pallas_attention import mha_fused_bth
+    from wav2vec2forbrain_tpu.ops.xla_attention import mha_dense_bth
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (
+        jax.random.normal(key, (B, T, H * D), jnp.float32) for key in ks
+    )
+    seed = jnp.asarray(4242, jnp.int32)
+    scale = 1.0 / math.sqrt(D)
+    for rate in (0.0, 0.25):
+        out_k = mha_fused_bth(q, k, v, seed, H, scale, rate, jnp.float32)
+        out_d = mha_dense_bth(q, k, v, seed, H, scale, rate, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out_d), np.asarray(out_k), atol=2e-5, rtol=1e-5,
+        )
+    # gradients through the dense route's checkpointed core match the
+    # kernel's recompute-backward
+    g = jax.random.normal(jax.random.PRNGKey(9), (B, T, H * D), jnp.float32)
+
+    def loss(fn, q):
+        return jnp.sum(fn(q, k, v, seed, H, scale, 0.25, jnp.float32) * g)
+
+    gk = jax.grad(lambda q: loss(mha_fused_bth, q))(q)
+    gd = jax.grad(lambda q: loss(mha_dense_bth, q))(q)
+    np.testing.assert_allclose(
+        np.asarray(gd), np.asarray(gk), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_conformer_attention_grads_match(qkv, kernel_policy_all):
     cfg = ConformerEncoderConfig.tiny_test()
     p = init_conformer_layer_params(jax.random.PRNGKey(0), cfg)["self_attn"]
     x = jax.random.normal(

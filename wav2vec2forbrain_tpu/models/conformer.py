@@ -262,46 +262,16 @@ def conformer_self_attention(
         apply_linear(p["linear_v"], x, cd, out_dtype=sd), "blk"
     )
 
-    from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+    from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng
 
-    if kernel_enabled("attention", use_pallas, sd):
-        from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng
-
-        # the kernel is (B, T, H·D)-native: q/k/v go in exactly as the
-        # projections emit them, no reshapes/transposes on either side
-        ctx, rng = mha_with_rng(
-            q, k, v, heads, 1.0 / math.sqrt(head), cfg.attention_dropout,
-            rng, train, cd,
-        )
-        ctx = checkpoint_name(ctx, "blk")
-        return (
-            checkpoint_name(
-                apply_linear(p["linear_out"], ctx, cd, out_dtype=sd), "blk"
-            ),
-            rng,
-        )
-    # dense XLA path (per-head layout)
-    q = jnp.transpose(q.reshape(b, t, heads, head), (0, 2, 1, 3))
-    k = jnp.transpose(k.reshape(b, t, heads, head), (0, 2, 1, 3))
-    v = jnp.transpose(v.reshape(b, t, heads, head), (0, 2, 1, 3))
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
-        preferred_element_type=jnp.float32,
-    ) / math.sqrt(head)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    if train and cfg.attention_dropout > 0.0:
-        rng, sub = jax.random.split(rng)
-        keep = jax.random.bernoulli(
-            sub, 1.0 - cfg.attention_dropout, probs.shape
-        )
-        probs = jnp.where(
-            keep, probs / (1.0 - cfg.attention_dropout), 0.0
-        )
-    ctx = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(cd), v.astype(cd),
-        preferred_element_type=jnp.float32,
+    # one route for every backend: mha_with_rng dispatches Pallas kernel vs
+    # XLA-BTH dense by the kernel policy (identical dropout streams either
+    # way). Operands stay (B, T, H·D) — exactly as the projections emit
+    # them, no reshapes/transposes on either side.
+    ctx, rng = mha_with_rng(
+        q, k, v, heads, 1.0 / math.sqrt(head), cfg.attention_dropout,
+        rng, train, cd, use_pallas=use_pallas,
     )
-    ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h)
     ctx = checkpoint_name(ctx, "blk")
     return (
         checkpoint_name(

@@ -250,49 +250,21 @@ def attention(
     k = checkpoint_name(apply_linear(p["k_proj"], x, cd, out_dtype=sd), "blk")
     v = checkpoint_name(apply_linear(p["v_proj"], x, cd, out_dtype=sd), "blk")
 
-    from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+    from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng
 
-    if kernel_enabled("attention", use_pallas, sd):
-        from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng
-
-        # the kernel is (B, T, H·D)-native: q/k/v go in as the projections
-        # emit them. q is pre-scaled above (Bart quirk) -> kernel scale 1
-        ctx, rng = mha_with_rng(
-            q, k, v, num_heads, 1.0, dropout, rng, train, cd
-        )
-        ctx = checkpoint_name(ctx, "blk")
-        return (
-            checkpoint_name(
-                apply_linear(p["out_proj"], ctx, cd, out_dtype=sd), "blk"
-            ),
-            rng,
-        )
-
-    # dense XLA path (per-head layout)
-    def split_heads(a):
-        return jnp.transpose(a.reshape(b, t, num_heads, head_dim), (0, 2, 1, 3))
-
-    q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
-        preferred_element_type=jnp.float32,
+    # one route for every backend: mha_with_rng dispatches Pallas kernel vs
+    # XLA-BTH dense by the kernel policy (identical dropout streams either
+    # way). Operands stay (B, T, H·D) — the projections' native layout. q
+    # is pre-scaled above (Bart quirk) -> attention scale 1
+    ctx, rng = mha_with_rng(
+        q, k, v, num_heads, 1.0, dropout, rng, train, cd,
+        use_pallas=use_pallas,
     )
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    if train and dropout > 0.0:
-        rng, sub = jax.random.split(rng)
-        keep = jax.random.bernoulli(sub, 1.0 - dropout, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout), 0.0)
-    ctx = jnp.einsum(
-        "bhqk,bhkd->bhqd",
-        probs.astype(cd),
-        v.astype(cd),
-        preferred_element_type=jnp.float32,
-    )
-    ctx = checkpoint_name(
-        jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, h), "blk"
-    )
+    ctx = checkpoint_name(ctx, "blk")
     return (
-        checkpoint_name(apply_linear(p["out_proj"], ctx, cd, out_dtype=sd), "blk"),
+        checkpoint_name(
+            apply_linear(p["out_proj"], ctx, cd, out_dtype=sd), "blk"
+        ),
         rng,
     )
 

@@ -380,13 +380,21 @@ def mha_fused(q, k, v, seed, scale, dropout_rate, compute_dtype):
 
 
 def mha_with_rng(q, k, v, num_heads, scale, dropout_rate, rng, train,
-                 compute_dtype):
-    """Model-side entry: derive the kernel's int32 seed from a jax.random key
-    (one split, like the dense path's dropout) and run mha_fused_bth.
+                 compute_dtype, use_pallas=True):
+    """Model-side entry: the ONE attention route both encoders call.
+
+    Derives an int32 seed from the jax.random key (one split when dropout
+    is live — the rng CHAIN is identical on every route) and dispatches by
+    the kernel policy: `auto` runs the XLA-BTH dense path
+    (ops/xla_attention.py — measured faster at the short-T encoder shapes,
+    see that module's docstring), an explicit policy ('all' or a comma
+    list naming 'attention') runs the Pallas kernel. Dropout masks are
+    bit-identical across routes (same hash streams), so the choice is
+    performance-only.
 
     q/k/v: (B, T, H·D) — straight from the projections. Returns (ctx
     (B, T, H·D) in q's dtype — the activation-stream dtype — with f32
-    accumulation inside the kernel, advanced rng)."""
+    accumulation either way, advanced rng)."""
     rate = dropout_rate if train else 0.0
     if rate > 0.0:
         rng, sub = jax.random.split(rng)
@@ -395,7 +403,14 @@ def mha_with_rng(q, k, v, num_heads, scale, dropout_rate, rng, train,
         )
     else:
         seed = jnp.zeros((), jnp.int32)
-    return (
-        mha_fused_bth(q, k, v, seed, num_heads, scale, rate, compute_dtype),
-        rng,
-    )
+    from wav2vec2forbrain_tpu.ops.select import kernel_enabled
+
+    if kernel_enabled("attention", use_pallas, q.dtype):
+        ctx = mha_fused_bth(q, k, v, seed, num_heads, scale, rate,
+                            compute_dtype)
+    else:
+        from wav2vec2forbrain_tpu.ops.xla_attention import mha_dense_bth
+
+        ctx = mha_dense_bth(q, k, v, seed, num_heads, scale, rate,
+                            compute_dtype)
+    return ctx, rng

@@ -3,10 +3,16 @@
 ``--use_pallas`` is the master switch; this module decides, per fused
 kernel, whether the Pallas implementation or the plain-XLA path runs.
 The measured picture (tools/profile_step.py on v5e, bench shape) is not
-uniform: the attention and GRU kernels beat XLA at every stream dtype,
-but the GLU->depthwise conv kernel only beats XLA's grouped conv for a
-float32 activation stream — at bfloat16 XLA's conv is ~20% faster than
-the shift-add kernel, so "auto" routes the conv module back to XLA there.
+uniform: the GRU kernel beats XLA at every stream dtype, but the
+GLU->depthwise conv kernel only beats XLA's grouped conv for a float32
+activation stream — at bfloat16 XLA's conv is ~20% faster than the
+shift-add kernel, so "auto" routes the conv module back to XLA there.
+The attention kernel lost its crown to XLA's batched GEMMs once the
+dense path moved to the BTH layout with hash dropout
+(ops/xla_attention.py): x24-layer fwd+bwd at the bench shape is 7.29 ms
+dense vs 14.37 ms kernel (the kernel issues 3584 tiny per-(batch, head)
+MXU dots and pays fixed overhead on each), so "auto" routes attention
+to XLA; the kernel stays selectable for A/B and longer-T regimes.
 The fused LayerNorm kernel (ops/pallas_layernorm.py) beats XLA's
 convert+reduce LN fusions in ISOLATION at both stream dtypes
 (tools/ab_layernorm.py on v5e, bench shape: fwd+bwd 0.319 -> 0.268 ms/LN
@@ -22,10 +28,12 @@ backward instead of storing a pred residual: measured full-step A/B
 (scanned, where the masks otherwise ride the remat residuals) — "auto"
 keeps it on.
 A/B at the bf16 headline shape (conformer-large bs32, v5e, env override):
-all-auto 116.2-118.9 ms/step, attention kernel off 128.9-129.3 (the
-kernel saves ~12 ms), gru+preproc kernels off 117.2-117.7 (a wash here —
-the conformer's brain frontend is small; those kernels earn their keep
-on the gru+w2v family and the 512/1024-hidden sweep configs).
+gru+preproc kernels off 117.2-117.7 vs all-auto 116.2-118.9 ms/step (a
+wash here — the conformer's brain frontend is small; those kernels earn
+their keep on the gru+w2v family and the 512/1024-hidden sweep configs).
+(Historical: the attention kernel used to save ~12 ms against the OLD
+per-head dense path — eight transposes/layer + jax.random dropout; the
+BTH hash-dropout dense path beats both, see the paragraph above.)
 
 Policy values (CLI ``--pallas_kernels``, env ``W2VB_PALLAS_KERNELS``
 overrides for tooling/A-B runs):
@@ -100,6 +108,17 @@ def kernel_enabled(
         if name == "layernorm":
             # wins isolated, loses e2e to broken fusion boundaries (see
             # module docstring) — XLA keeps the LN at every stream dtype
+            return False
+        if name == "attention":
+            # XLA's batched GEMMs beat the kernel's thousands of tiny
+            # per-(batch, head) MXU dots at the short encoder sequences
+            # this framework runs (v5e A/B, x24 fwd+bwd at the bench
+            # shape: XLA-BTH 7.29 ms vs kernel 14.37)
+            # — ops/xla_attention.py runs instead,
+            # with bit-identical dropout streams. The kernel stays
+            # selectable ('all' or a comma list) for A/B and for future
+            # long-T regimes where recompute-free HBM traffic could flip
+            # the verdict.
             return False
         return True
     names = {s.strip() for s in policy.split(",") if s.strip()}
