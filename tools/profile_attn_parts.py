@@ -136,24 +136,32 @@ def main():
             round(timeit(reps(fn, wrt), p, x, rng), 2),
         )
 
-    # the inner kernel alone, BTH-native operands (no layout ops)
-    from wav2vec2forbrain_tpu.ops.pallas_attention import mha_with_rng
+    # the attention core alone on BTH-native operands (no layout ops),
+    # each route explicitly: the Pallas kernel and the XLA-BTH dense path
+    # the `auto` policy routes to (ops/xla_attention.py)
+    from wav2vec2forbrain_tpu.ops.pallas_attention import mha_fused_bth
+    from wav2vec2forbrain_tpu.ops.xla_attention import mha_dense_bth
 
-    @jax.jit
-    def kernel_only(q, key):
-        def loss(q):
-            hh = q
-            for _ in range(n):
-                hh, _ = mha_with_rng(
-                    hh, hh, hh, heads, 1.0 / math.sqrt(head),
-                    cfg.attention_dropout, key, True, cd,
-                )
-            return jnp.sum(hh.astype(jnp.float32) ** 2)
+    def core_bench(name, fn):
+        @jax.jit
+        def run(q, seed):
+            def loss(q):
+                hh = q
+                for _ in range(n):
+                    hh = fn(
+                        hh, hh, hh, seed, heads, 1.0 / math.sqrt(head),
+                        cfg.attention_dropout, cd,
+                    )
+                return jnp.sum(hh.astype(jnp.float32) ** 2)
 
-        l, g = jax.value_and_grad(loss)(q)
-        return l + 1e-30 * jnp.sum(g.astype(jnp.float32) ** 2)
+            l, g = jax.value_and_grad(loss)(q)
+            return l + 1e-30 * jnp.sum(g.astype(jnp.float32) ** 2)
 
-    print(f"kernel_only_x{n}_fwd_bwd_ms", round(timeit(kernel_only, x, rng), 2))
+        seed = jnp.asarray(7, jnp.int32)
+        print(f"{name}_x{n}_fwd_bwd_ms", round(timeit(run, x, seed), 2))
+
+    core_bench("kernel_only", mha_fused_bth)
+    core_bench("dense_bth_only", mha_dense_bth)
 
 
 if __name__ == "__main__":

@@ -158,6 +158,29 @@ def main():
         with jax.profiler.trace(args.trace):
             carry = run_full(3, *carry)
         print("trace written to", args.trace)
+    # XLA-counted cost of the full-step executable (the MFU numerator the
+    # README quotes): lower with abstract args so the donated live buffers
+    # are untouched; same shapes/fn -> the executable cache is reused.
+    try:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (carry[0], frozen, carry[1], carry[2], batch, carry[3]),
+        )
+        tr_a, fr_a, o_a, s_a, b_a, r_a = abstract
+        ca = (
+            train_step.lower(tr_a, fr_a, o_a, s_a, b_a, r_a, 1e-4, 1e-5)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        print("full_step_xla_tflops", round(ca["flops"] / 1e12, 3))
+        if "bytes accessed" in ca:
+            print(
+                "full_step_xla_hbm_gb", round(ca["bytes accessed"] / 1e9, 2)
+            )
+    except Exception as e:  # noqa: BLE001 - cost analysis is best-effort
+        print(f"cost_analysis unavailable: {e!r}")
     if args.only == "full":
         return
     # free the full-step carry + executable before the (remat-free,
